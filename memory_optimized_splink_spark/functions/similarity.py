@@ -1,0 +1,231 @@
+"""Vectorized string-similarity kernels (Arrow-batched pandas UDFs).
+
+The reference registers Scala JAR UDFs (jaro_winkler, jaccard,
+damerau_levenshtein, ...) into Spark SQL
+(/root/reference/splink/internals/spark/jar_location.py:34-75). This engine
+replaces the JAR with **numpy-vectorized kernels inside pandas UDFs**: every
+batch is an Arrow RecordBatch; inside the batch all per-character work is
+numpy array ops (no per-row Python in the hot path, per the north rule).
+
+Semantics are pinned to DuckDB's builtin functions (the reference's default
+backend) so that the driver's DuckDB oracle hash-matches:
+  jaro_winkler_similarity / levenshtein / damerau_levenshtein.
+tests/test_similarity_vs_duckdb.py fuzzes the kernels cell-by-cell.
+
+Scale notes: the per-batch tensors are O(batch * Lmax) for the edit
+distances and O(batch * Lmax^2) bools for Jaro matching; strings longer than
+_LMAX are truncated for matching purposes (repo paths are short; for generic
+text columns callers should pre-truncate or hash).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType
+
+_LMAX = 256
+_CHUNK = 2048
+
+
+def _codes(s: pd.Series, lmax: int) -> tuple[np.ndarray, np.ndarray]:
+    """(n, lmax) int32 codepoint matrix padded with -1, plus lengths."""
+    vals = s.fillna("").astype(str).to_numpy(dtype=object)
+    n = len(vals)
+    out = np.full((n, lmax), -1, dtype=np.int32)
+    lens = np.empty(n, dtype=np.int32)
+    for i, v in enumerate(vals):  # per-row only to unpack bytes; O(n) cheap
+        cp = np.frombuffer(v.encode("utf-32-le"), dtype=np.uint32)[:lmax]
+        out[i, : len(cp)] = cp
+        lens[i] = len(cp)
+    return out, lens
+
+
+def _jaro_block(a: np.ndarray, la: np.ndarray, b: np.ndarray, lb: np.ndarray
+                ) -> np.ndarray:
+    """Vectorized Jaro similarity for one block of rows.
+
+    a,b: (n, L) code matrices; la,lb: lengths. Loop is over L (string
+    positions), all row-wise work is numpy.
+    """
+    n, L = a.shape
+    window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)  # (n,)
+    ks = np.arange(L, dtype=np.int32)
+    b_valid = ks[None, :] < lb[:, None]
+    b_matched = np.zeros((n, L), dtype=bool)
+    a_match_k = np.full((n, L), -1, dtype=np.int32)  # for a-pos j: matched k
+    for j in range(int(la.max(initial=0))):
+        aj = a[:, j]  # (n,)
+        active = j < la
+        # candidates: same char, within window, b pos valid & unmatched
+        cand = (
+            (b[:, :] == aj[:, None])
+            & (np.abs(ks[None, :] - j) <= window[:, None])
+            & b_valid
+            & ~b_matched
+            & active[:, None]
+        )
+        has = cand.any(axis=1)
+        k_first = np.where(has, cand.argmax(axis=1), -1)
+        rows = np.nonzero(has)[0]
+        b_matched[rows, k_first[rows]] = True
+        a_match_k[:, j] = np.where(has & active, k_first, -1)
+    m = (a_match_k >= 0).sum(axis=1).astype(np.float64)  # (n,)
+    # transpositions: a's matched chars in j-order vs b's matched chars in
+    # k-order; count mismatching positions, halve.
+    mi = a_match_k >= 0  # (n, L) a-side matched mask (j order)
+    order_a = np.cumsum(mi, axis=1) - 1
+    order_b = np.cumsum(b_matched, axis=1) - 1
+    mmax = int(m.max(initial=0))
+    t = np.zeros(n, dtype=np.float64)
+    if mmax > 0:
+        seq_a = np.full((n, mmax), -2, dtype=np.int32)
+        seq_b = np.full((n, mmax), -3, dtype=np.int32)
+        ra, ca = np.nonzero(mi)
+        seq_a[ra, order_a[ra, ca]] = a[ra, ca]
+        rb, cb = np.nonzero(b_matched)
+        seq_b[rb, order_b[rb, cb]] = b[rb, cb]
+        # DuckDB (vendored rapidfuzz) floors the half-transposition count
+        mism = ((seq_a != seq_b) & (seq_a != -2) & (seq_b != -3)).sum(axis=1)
+        t = (mism // 2).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (m / la + m / lb + (m - t) / m) / 3.0
+    jaro = np.where(m == 0, 0.0, jaro)  # incl. either/both side empty
+    return jaro
+
+
+def _prefix_len(a, la, b, lb, cap: int = 4) -> np.ndarray:
+    L = min(cap, a.shape[1])
+    eq = (a[:, :L] == b[:, :L]) & (a[:, :L] >= 0) & (b[:, :L] >= 0)
+    # running AND then sum
+    run = np.cumprod(eq, axis=1, dtype=bool)
+    return run.sum(axis=1).astype(np.float64)
+
+
+def jaro_np(s1: pd.Series, s2: pd.Series) -> np.ndarray:
+    out = np.empty(len(s1), dtype=np.float64)
+    for lo in range(0, len(s1), _CHUNK):
+        hi = min(lo + _CHUNK, len(s1))
+        a, la = _codes(s1.iloc[lo:hi], _LMAX)
+        b, lb = _codes(s2.iloc[lo:hi], _LMAX)
+        lmax = max(int(la.max(initial=0)), int(lb.max(initial=0)), 1)
+        out[lo:hi] = _jaro_block(a[:, :lmax], la, b[:, :lmax], lb)
+    return out
+
+
+def jaro_winkler_np(s1: pd.Series, s2: pd.Series,
+                    prefix_weight: float = 0.1,
+                    boost_threshold: float = 0.7) -> np.ndarray:
+    """Jaro-Winkler matching DuckDB's jaro_winkler_similarity (prefix<=4,
+    scaling 0.1, boost only when jaro > 0.7)."""
+    out = np.empty(len(s1), dtype=np.float64)
+    for lo in range(0, len(s1), _CHUNK):
+        hi = min(lo + _CHUNK, len(s1))
+        a, la = _codes(s1.iloc[lo:hi], _LMAX)
+        b, lb = _codes(s2.iloc[lo:hi], _LMAX)
+        lmax = max(int(la.max(initial=0)), int(lb.max(initial=0)), 1)
+        jaro = _jaro_block(a[:, :lmax], la, b[:, :lmax], lb)
+        pl = _prefix_len(a, la, b, lb)
+        jw = np.where(
+            jaro > boost_threshold, jaro + prefix_weight * pl * (1.0 - jaro), jaro
+        )
+        out[lo:hi] = jw
+    return out
+
+
+def _edit_distance_block(a, la, b, lb, damerau: bool) -> np.ndarray:
+    """(Damerau-)Levenshtein, vectorized over rows; loops over i (chars of a)
+    with the prefix-min trick resolving the in-row left dependency:
+      D[i,j] = min(cand[j], min_{k<j}(cand[k] + (j-k)))
+             = min.accumulate(cand - j)[j] + j   where cand folds the
+      delete/substitute(/transpose) candidates.
+    """
+    n, L = a.shape
+    Lb = b.shape[1]
+    js = np.arange(Lb + 1, dtype=np.float64)
+    prev = np.tile(js, (n, 1))  # D[0, :] = j
+    prev2 = None
+    imax = int(la.max(initial=0))
+    INF = 1e9
+    for i in range(1, imax + 1):
+        ai = a[:, i - 1]  # (n,)
+        active = (i <= la)
+        sub_cost = (b != ai[:, None]).astype(np.float64)  # (n, Lb)
+        cand = np.empty((n, Lb + 1), dtype=np.float64)
+        cand[:, 0] = i  # first column: i deletions
+        # delete (from above) vs substitute (diag)
+        cand[:, 1:] = np.minimum(prev[:, 1:] + 1.0, prev[:, :-1] + sub_cost)
+        if damerau and prev2 is not None and i >= 2:
+            # transpose: a[i-2]==b[j-1] and a[i-1]==b[j-2] -> prev2[j-2]+1
+            tr = np.full((n, Lb + 1), INF)
+            if Lb >= 2:
+                ok = (b[:, 1:] == a[:, i - 2][:, None]) & (
+                    b[:, :-1] == ai[:, None]
+                )
+                tr[:, 2:] = np.where(ok, prev2[:, :-2] + 1.0, INF)
+            cand = np.minimum(cand, tr)
+        # resolve left-neighbor (insert) dependency via prefix-min
+        shifted = cand - js[None, :]
+        run = np.minimum.accumulate(shifted, axis=1)
+        cur = np.minimum(cand, run + js[None, :])
+        # mask invalid b positions beyond lb: distance only read at j=lb
+        prev2 = prev
+        prev = np.where(active[:, None], cur, prev)
+    return prev[np.arange(n), lb].astype(np.int64)
+
+
+def edit_distance_np(s1: pd.Series, s2: pd.Series, damerau: bool) -> np.ndarray:
+    out = np.empty(len(s1), dtype=np.int64)
+    for lo in range(0, len(s1), _CHUNK):
+        hi = min(lo + _CHUNK, len(s1))
+        a, la = _codes(s1.iloc[lo:hi], _LMAX)
+        b, lb = _codes(s2.iloc[lo:hi], _LMAX)
+        lmax_a = max(int(la.max(initial=0)), 1)
+        lmax_b = max(int(lb.max(initial=0)), 1)
+        out[lo:hi] = _edit_distance_block(
+            a[:, :lmax_a], la, b[:, :lmax_b], lb, damerau
+        )
+    return out
+
+
+def cosine_np(v1: pd.Series, v2: pd.Series) -> np.ndarray:
+    """Cosine similarity over array<float> columns (ragged -> stacked)."""
+    a = np.stack(v1.apply(lambda x: np.asarray(x, dtype=np.float64)).to_numpy())
+    b = np.stack(v2.apply(lambda x: np.asarray(x, dtype=np.float64)).to_numpy())
+    num = (a * b).sum(axis=1)
+    den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = num / den
+    return np.where(den == 0, 0.0, out)
+
+
+# ------------------------------------------------------------- pandas UDFs
+
+@F.pandas_udf(DoubleType())
+def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return pd.Series(jaro_winkler_np(s1, s2))
+
+
+@F.pandas_udf(DoubleType())
+def jaro_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return pd.Series(jaro_np(s1, s2))
+
+
+@F.pandas_udf(IntegerType())
+def damerau_levenshtein_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return pd.Series(edit_distance_np(s1, s2, damerau=True)).astype("int32")
+
+
+@F.pandas_udf(DoubleType())
+def cosine_similarity_udf(v1: pd.Series, v2: pd.Series) -> pd.Series:
+    return pd.Series(cosine_np(v1, v2))
+
+
+def register_udfs(spark) -> None:
+    """Register SQL-callable names mirroring the reference's JAR UDF surface
+    (/root/reference/splink/internals/spark/database_api.py:166-190)."""
+    spark.udf.register("jaro_winkler", jaro_winkler_udf)
+    spark.udf.register("jaro_sim", jaro_udf)
+    spark.udf.register("damerau_levenshtein", damerau_levenshtein_udf)
+    spark.udf.register("cosine_similarity", cosine_similarity_udf)

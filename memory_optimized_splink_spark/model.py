@@ -1,0 +1,214 @@
+"""Model objects: comparison levels, comparisons, blocking rules, settings.
+
+Semantics mirror the reference (not its architecture):
+- gamma assignment: null level -> -1, graded levels descending, else -> 0
+  (/root/reference/splink/internals/comparison.py:87-105).
+- m/u defaults when untrained (/root/reference/splink/internals/
+  comparison_level.py:85-106): top level m=0.95 with the remainder spread
+  uniformly; u defaults spread by fixed weights. Training overwrites these.
+- fork extras: `only_help` (m clamped to >= u pre-predict,
+  inference.py:158-175), TF adjustment parameters
+  (comparison_level.py:155-181), `tf_minimum_u_value` floor
+  (comparison_level.py:682-718).
+- JSON round-trip like settings.py:604-629.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import asdict, dataclass, field, replace
+
+SIM_KINDS = {"jaro_winkler", "jaro", "jaccard_chars", "cosine"}
+DIST_KINDS = {"levenshtein", "damerau_levenshtein", "abs_diff",
+              "date_diff_seconds", "distance_in_km"}
+
+
+@dataclass(frozen=True)
+class ComparisonLevel:
+    kind: str  # null|exact|else|custom|literal|array_intersect|pct_diff|<SIM>|<DIST>
+    label: str = ""
+    column: str | None = None      # defaults to the comparison's column
+    threshold: float | None = None  # >= for SIM_KINDS, <= for DIST_KINDS
+    sql_condition: str | None = None  # custom: Spark SQL over <col>_l/_r
+    literal: str | None = None
+    m: float | None = None
+    u: float | None = None
+    tf_adjustment: bool = False
+    tf_minimum_u_value: float = 0.0
+    only_help: bool = False
+    # fork fuzzy-TF params (/root/reference/.../comparison_level.py:720-744)
+    fuzzy_similarity_value: float | None = None
+    fuzzy_max_epsilon: float | None = None
+
+    def describe(self) -> str:
+        if self.label:
+            return self.label
+        if self.kind in ("null", "else", "exact"):
+            return self.kind
+        if self.threshold is not None:
+            return f"{self.kind}_{self.threshold}"
+        return self.kind
+
+
+@dataclass(frozen=True)
+class Comparison:
+    name: str                      # output: gamma_<name>, bf_<name>
+    column: str | None             # main input column (None for custom-only)
+    levels: tuple[ComparisonLevel, ...] = ()
+
+    def __post_init__(self):
+        if isinstance(self.levels, list):
+            object.__setattr__(self, "levels", tuple(self.levels))
+
+    @property
+    def null_level(self) -> ComparisonLevel | None:
+        for lv in self.levels:
+            if lv.kind == "null":
+                return lv
+        return None
+
+    @property
+    def graded_levels(self) -> list[tuple[int, ComparisonLevel]]:
+        """(gamma_value, level) for non-null levels; first graded level gets
+        the highest gamma, the else level gets 0."""
+        non_null = [lv for lv in self.levels if lv.kind != "null"]
+        n = len(non_null)
+        return [(n - 1 - i, lv) for i, lv in enumerate(non_null)]
+
+    @property
+    def gamma_column(self) -> str:
+        return f"gamma_{self.name}"
+
+    @property
+    def bf_column(self) -> str:
+        return f"bf_{self.name}"
+
+    def with_defaults(self) -> "Comparison":
+        """Fill missing m/u with untrained defaults."""
+        graded = self.graded_levels
+        n = len(graded)
+        new_levels = []
+        for lv in self.levels:
+            if lv.kind == "null":
+                new_levels.append(lv)
+                continue
+            gamma = next(g for g, l2 in graded if l2 is lv)
+            m = lv.m
+            u = lv.u
+            if m is None:
+                m = 0.95 if gamma == n - 1 else 0.05 / max(n - 1, 1)
+            if u is None:
+                # fixed default match weights spaced over levels
+                w = -5.0 + 8.0 * (gamma / max(n - 1, 1))
+                u = m / (2.0 ** w)
+            new_levels.append(replace(lv, m=m, u=u))
+        # normalize u to <=1 domain
+        total_u = sum(lv.u for lv in new_levels if lv.kind != "null")
+        if total_u > 1.0:
+            new_levels = [
+                lv if lv.kind == "null" else replace(lv, u=lv.u / total_u)
+                for lv in new_levels
+            ]
+        return replace(self, levels=tuple(new_levels))
+
+
+@dataclass(frozen=True)
+class BlockingRule:
+    """Candidate-generation rule.
+
+    keys: list of Spark SQL expressions over node columns; a pair blocks
+          together when all key expressions are equal (equi path, the fast
+          one: repartition-by-key hash join).
+    sql:  raw theta condition over aliases l/r (slow path).
+    salting_partitions: static salt fan-out like the reference's
+          (/root/reference/splink/internals/blocking.py:340-401).
+    hot_key_threshold: rows-per-key above which the key is split explicitly
+          (north rule: measured hot-key splitting).
+    """
+    keys: tuple[str, ...] | None = None
+    sql: str | None = None
+    label: str = ""
+    salting_partitions: int = 1
+    hot_key_threshold: int | None = None
+
+    def __post_init__(self):
+        if isinstance(self.keys, list):
+            object.__setattr__(self, "keys", tuple(self.keys))
+        if self.keys is None and self.sql is None:
+            raise ValueError("BlockingRule needs keys or sql")
+
+
+def block_on(*cols: str, **kw) -> BlockingRule:
+    return BlockingRule(keys=tuple(cols), label=kw.pop("label", "_".join(cols)), **kw)
+
+
+@dataclass(frozen=True)
+class Settings:
+    comparisons: tuple[Comparison, ...]
+    blocking_rules: tuple[BlockingRule, ...]
+    probability_two_random_records_match: float = 1e-4
+    unique_id_column_name: str = "unique_id"
+    source_dataset_column_name: str | None = None
+    link_type: str = "dedupe_only"  # dedupe_only | link_only | link_and_dedupe
+    em_convergence: float = 1e-4
+    max_iterations: int = 25
+    retain_matching_columns: bool = False
+    additional_columns_to_retain: tuple[str, ...] = ()
+    tf_columns: tuple[str, ...] = ()
+    tf_array_columns: tuple[str, ...] = ()
+    seed: int = 42
+
+    def __post_init__(self):
+        for f_ in ("comparisons", "blocking_rules", "additional_columns_to_retain",
+                   "tf_columns", "tf_array_columns"):
+            v = getattr(self, f_)
+            if isinstance(v, list):
+                object.__setattr__(self, f_, tuple(v))
+
+    def with_defaults(self) -> "Settings":
+        return replace(
+            self, comparisons=tuple(c.with_defaults() for c in self.comparisons)
+        )
+
+    # ---------------------------------------------------------------- JSON
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), indent=2, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Settings":
+        d = json.loads(s)
+        d["comparisons"] = tuple(
+            Comparison(
+                name=c["name"], column=c["column"],
+                levels=tuple(ComparisonLevel(**lv) for lv in c["levels"]),
+            )
+            for c in d["comparisons"]
+        )
+        d["blocking_rules"] = tuple(
+            BlockingRule(
+                keys=tuple(b["keys"]) if b.get("keys") else None,
+                sql=b.get("sql"), label=b.get("label", ""),
+                salting_partitions=b.get("salting_partitions", 1),
+                hot_key_threshold=b.get("hot_key_threshold"),
+            )
+            for b in d["blocking_rules"]
+        )
+        for f_ in ("additional_columns_to_retain", "tf_columns", "tf_array_columns"):
+            d[f_] = tuple(d.get(f_, ()))
+        return Settings(**d)
+
+
+# ---------------------------------------------------------- probability math
+# (/root/reference/splink/internals/misc.py:19-32)
+
+def prob_to_bayes_factor(p: float) -> float:
+    return p / (1 - p) if p < 1 else math.inf
+
+
+def bayes_factor_to_prob(bf: float) -> float:
+    return 1.0 if math.isinf(bf) else bf / (1 + bf)
+
+
+def match_weight_to_prob(w: float) -> float:
+    return bayes_factor_to_prob(2.0 ** w)

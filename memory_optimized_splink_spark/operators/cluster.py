@@ -1,0 +1,183 @@
+"""Connected components: large-star/small-star with per-iteration checkpoints.
+
+The reference solves transitive closure by iterative min-label propagation
+with converged-cluster freezing
+(/root/reference/splink/internals/connected_components.py:93-526). This
+engine implements the **alternating large-star/small-star algorithm** the
+reference itself cites (connected_components.py:1-9, arXiv:1802.09478
+"Connected Components in MapReduce and Beyond"): the same fixpoint (every
+node linked to its component minimum) in O(log^2 n) rounds instead of
+O(diameter) — the difference between ~60 and ~15 shuffles on long-path
+graphs at 10^12-edge scale.
+
+Scale design:
+- node ids are compacted to longs once (monotonically_increasing_id — no
+  sort, no window) so every CC shuffle moves 8-byte keys instead of 64-char
+  sha strings; mapped back at the end.
+- every iteration ends in localCheckpoint(eager) — lineage truncation is
+  mandatory for iterative DataFrame algorithms (reference persists each
+  representatives table, spark/database_api.py:283-303).
+- convergence test is an aggregate (count + xxhash64 checksum), not a
+  collect of the edge list.
+- final md5 cluster id = md5(comma-joined sorted member list)
+  (connected_components.py:504-518) is opt-in: it needs a collect_list per
+  cluster, which is unboundedly skewed for giant clusters. The default
+  cluster id is the component-minimum node id (stable & deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..model import Settings
+
+
+def _checkpoint(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=True)
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    nbrs = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        nbrs.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
+    )
+    return (
+        nbrs.join(mins, on="u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    e = edges.select(
+        F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
+    ).where(F.col("a") != F.col("b"))
+    mins = e.groupBy("a").agg(F.min("b").alias("m"))
+    out = (
+        e.join(mins, on="a")
+        .select(F.col("b").alias("u"), F.col("m").alias("v"))
+        .union(mins.select(F.col("a").alias("u"), F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return out
+
+
+def connected_components_long(edges: DataFrame, max_iterations: int = 50
+                              ) -> DataFrame:
+    """edges(u long, v long) -> assignments(u long, rep long) for every node
+    that appears in an edge. rep = component minimum."""
+    e = _checkpoint(
+        edges.select("u", "v").where(F.col("u") != F.col("v")).distinct()
+    )
+    if e.isEmpty():
+        return e.select(F.col("u"), F.col("v").alias("rep")).limit(0)
+    prev = None
+    for _ in range(max_iterations):
+        e = _checkpoint(_small_star(_large_star(e)))
+        cur = _checksum(e)
+        if prev == cur:
+            break
+        prev = cur
+    # fixpoint edges are (node -> component min); add the roots themselves
+    assign = e.select(F.col("u"), F.col("v").alias("rep")).union(
+        e.select(F.col("v").alias("u"), F.col("v").alias("rep"))
+    )
+    return assign.groupBy("u").agg(F.min("rep").alias("rep"))
+
+
+def solve_connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "unique_id",
+    edge_l: str = "unique_id_l",
+    edge_r: str = "unique_id_r",
+    with_md5_ids: bool = False,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Per-node membership (node_col, cluster_id). Isolated nodes become
+    singleton clusters (reference unions self-loops,
+    connected_components.py:346-367 — here they just pass through)."""
+    ids = nodes.select(F.col(node_col).alias("node_id")).distinct()
+    idmap = _checkpoint(ids.withColumn("nid", F.monotonically_increasing_id()))
+
+    e = (
+        edges.select(F.col(edge_l).alias("node_l"), F.col(edge_r).alias("node_r"))
+        .join(idmap.select(F.col("node_id").alias("node_l"),
+                           F.col("nid").alias("u")), on="node_l")
+        .join(idmap.select(F.col("node_id").alias("node_r"),
+                           F.col("nid").alias("v")), on="node_r")
+        .select("u", "v")
+    )
+    assign = connected_components_long(e, max_iterations=max_iterations)
+    # map back: rep nid -> rep node_id; isolated nodes rep = self
+    rep_names = idmap.select(F.col("nid").alias("rep"),
+                             F.col("node_id").alias("_rep_name"))
+    member = (
+        idmap.join(assign, idmap["nid"] == assign["u"], "left")
+        .select(
+            "node_id",
+            F.coalesce(F.col("rep"), F.col("nid")).alias("rep"),
+        )
+        .join(rep_names, on="rep", how="left")
+        .select(
+            "node_id",
+            F.coalesce(F.col("_rep_name"), F.col("node_id")).alias("cluster_id"),
+        )
+    )
+    if with_md5_ids:
+        md5_ids = (
+            member.groupBy("cluster_id")
+            .agg(
+                F.md5(
+                    F.concat_ws(",", F.sort_array(F.collect_list("node_id")))
+                ).alias("cluster_md5")
+            )
+        )
+        member = member.join(md5_ids, on="cluster_id").select(
+            "node_id", F.col("cluster_md5").alias("cluster_id")
+        )
+    return member
+
+
+def cluster_pairwise_predictions_at_threshold(
+    nodes: DataFrame,
+    predictions: DataFrame,
+    settings: Settings,
+    threshold_match_probability: float,
+    with_md5_ids: bool = False,
+) -> DataFrame:
+    """Reference EP3 (/root/reference/splink/internals/linker_components/
+    clustering.py:43-181): threshold the edge list, solve CC, join membership
+    back onto the node table."""
+    uid = settings.unique_id_column_name
+    edges = predictions.where(
+        F.col("match_probability") >= F.lit(threshold_match_probability)
+    ).select("unique_id_l", "unique_id_r")
+    member = solve_connected_components(
+        nodes, edges, node_col=uid, with_md5_ids=with_md5_ids
+    )
+    return nodes.join(
+        member.select(F.col("node_id").alias(uid), "cluster_id"), on=uid
+    )
+
+
+def cluster_sizes(membership: DataFrame) -> DataFrame:
+    """cluster_id -> n_members (clustering.py:290-314)."""
+    return membership.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

@@ -1,0 +1,201 @@
+"""Comparison vectors: candidate pairs -> per-comparison gamma values.
+
+Three-stage staging mirrors the fork's memory-optimized path
+(/root/reference/splink/internals/comparison_vector_values.py:90-289):
+  1. blocked_with_cols — pairs joined twice to nodes, carrying ONLY the
+     columns the comparisons need (explicit pruning; `content` never
+     travels, only its sha).
+  2. comparison metrics — each expensive similarity computed ONCE per
+     (comparison, kind) and aliased (ref: md5-aliased metric columns,
+     comparison_level.py:228-251). This select is where the vectorized
+     pandas-UDF batches run.
+  3. gamma CASE ladder — null -> -1, graded levels best-first, else -> 0
+     (comparison.py:170-175, comparison_level.py:564-576).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.similarity import (
+    cosine_similarity_udf,
+    damerau_levenshtein_udf,
+    jaro_udf,
+    jaro_winkler_udf,
+)
+from ..model import Comparison, ComparisonLevel, Settings
+
+_METRIC_KINDS = {"jaro_winkler", "jaro", "levenshtein", "damerau_levenshtein",
+                 "jaccard_chars", "cosine"}
+
+
+def _metric_col(comp: Comparison, kind: str, column: str) -> str:
+    return f"_m_{comp.name}_{kind}_{column}"
+
+
+def _char_set(col: Column) -> Column:
+    return F.array_distinct(F.filter(F.split(col, ""), lambda x: x != F.lit("")))
+
+
+def _metric_expr(kind: str, l: Column, r: Column) -> Column:
+    if kind == "jaro_winkler":
+        return jaro_winkler_udf(l, r)
+    if kind == "jaro":
+        return jaro_udf(l, r)
+    if kind == "levenshtein":
+        return F.levenshtein(l, r)  # JVM builtin: stays in codegen
+    if kind == "damerau_levenshtein":
+        return damerau_levenshtein_udf(l, r)
+    if kind == "jaccard_chars":
+        # DuckDB jaccard(): character-set Jaccard — native array ops
+        inter = F.size(F.array_intersect(_char_set(l), _char_set(r)))
+        union = F.size(F.array_union(_char_set(l), _char_set(r)))
+        return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    if kind == "cosine":
+        return cosine_similarity_udf(l, r)
+    raise ValueError(kind)
+
+
+def columns_needed(settings: Settings) -> list[str]:
+    """Minimal node-column set for the pair join (explicit pruning,
+    ref settings.py:399-511)."""
+    cols: list[str] = []
+    for comp in settings.comparisons:
+        for lv in comp.levels:
+            c = lv.column or comp.column
+            if c and c not in cols:
+                cols.append(c)
+            if lv.tf_adjustment:
+                tf = f"tf_{lv.column or comp.column}"
+                if tf not in cols:
+                    cols.append(tf)
+            if lv.sql_condition:
+                # custom SQL references <col>_l/_r; caller ensures the bare
+                # columns are listed via comp.column or lv.column
+                pass
+    for c in settings.additional_columns_to_retain:
+        if c not in cols:
+            cols.append(c)
+    return cols
+
+
+def pairs_with_columns(pairs: DataFrame, nodes: DataFrame,
+                       settings: Settings) -> DataFrame:
+    """Stage 1: (match_key, uid_l, uid_r) ⋈ nodes ⋈ nodes with minimal
+    projection (comparison_vector_values.py:112-119)."""
+    uid = settings.unique_id_column_name
+    cols = columns_needed(settings)
+
+    def side(suffix: str) -> DataFrame:
+        return nodes.select(
+            F.col(uid).alias(f"unique_id{suffix}"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in cols],
+        )
+
+    out = pairs.join(side("_l"), on="unique_id_l", how="inner")
+    out = out.join(side("_r"), on="unique_id_r", how="inner")
+    return out
+
+
+def with_comparison_metrics(df: DataFrame, settings: Settings) -> DataFrame:
+    """Stage 2: one column per (comparison, metric-kind), computed once."""
+    exprs: dict[str, Column] = {}
+    for comp in settings.comparisons:
+        for lv in comp.levels:
+            if lv.kind in _METRIC_KINDS:
+                c = lv.column or comp.column
+                name = _metric_col(comp, lv.kind, c)
+                if name not in exprs:
+                    exprs[name] = _metric_expr(
+                        lv.kind, F.col(f"{c}_l"), F.col(f"{c}_r")
+                    ).alias(name)
+    if not exprs:
+        return df
+    return df.select("*", *exprs.values())
+
+
+def _level_condition(comp: Comparison, lv: ComparisonLevel) -> Column:
+    c = lv.column or comp.column
+    l, r = (F.col(f"{c}_l"), F.col(f"{c}_r")) if c else (None, None)
+    if lv.kind == "null":
+        return l.isNull() | r.isNull()
+    if lv.kind == "exact":
+        return l == r
+    if lv.kind == "literal":
+        return (l == F.lit(lv.literal)) & (r == F.lit(lv.literal))
+    if lv.kind == "custom":
+        return F.expr(lv.sql_condition)
+    if lv.kind == "array_intersect":
+        return F.size(F.array_intersect(l, r)) >= F.lit(int(lv.threshold))
+    if lv.kind == "abs_diff":
+        return F.abs(l - r) <= F.lit(lv.threshold)
+    if lv.kind == "pct_diff":
+        return (F.abs(l - r) / F.greatest(l, r)) < F.lit(lv.threshold)
+    if lv.kind == "date_diff_seconds":
+        return F.abs(
+            F.unix_timestamp(l) - F.unix_timestamp(r)
+        ) <= F.lit(lv.threshold)
+    if lv.kind in _METRIC_KINDS:
+        m = F.col(_metric_col(comp, lv.kind, c))
+        if lv.kind in ("levenshtein", "damerau_levenshtein"):
+            return m <= F.lit(lv.threshold)
+        return m >= F.lit(lv.threshold)
+    raise ValueError(lv.kind)
+
+
+def gamma_column(comp: Comparison) -> Column:
+    """CASE null -> -1, graded best-first, else -> 0."""
+    expr = None
+    null_lv = comp.null_level
+    if null_lv is not None:
+        expr = F.when(_level_condition(comp, null_lv), F.lit(-1))
+    for gamma, lv in comp.graded_levels:
+        if lv.kind == "else":
+            continue
+        cond = _level_condition(comp, lv)
+        expr = F.when(cond, F.lit(gamma)) if expr is None else expr.when(cond, F.lit(gamma))
+    expr = F.lit(0) if expr is None else expr.otherwise(F.lit(0))
+    return expr.cast("int").alias(comp.gamma_column)
+
+
+def compute_comparison_vectors(
+    pairs: DataFrame, nodes: DataFrame, settings: Settings,
+    retain_columns: bool | None = None,
+) -> DataFrame:
+    """pairs + nodes -> (uid_l, uid_r, match_key?, gamma_*, [retained])."""
+    retain = settings.retain_matching_columns if retain_columns is None \
+        else retain_columns
+    df = pairs_with_columns(pairs, nodes, settings)
+    df = with_comparison_metrics(df, settings)
+    keep = ["unique_id_l", "unique_id_r"]
+    if "match_key" in df.columns:
+        keep.append("match_key")
+    gammas = [gamma_column(c) for c in settings.comparisons]
+    tf_cols = [
+        F.col(f"tf_{lv.column or comp.column}_{s}")
+        for comp in settings.comparisons
+        for lv in comp.levels if lv.tf_adjustment
+        for s in ("l", "r")
+    ]
+    extra: list[Column] = []
+    if retain:
+        used = set(keep)
+        for c in columns_needed(settings):
+            for s in ("l", "r"):
+                name = f"{c}_{s}"
+                if name in df.columns and name not in used:
+                    used.add(name)
+                    extra.append(F.col(name))
+    else:
+        extra = [c for c in tf_cols]
+    for c in settings.additional_columns_to_retain:
+        extra += [F.col(f"{c}_l"), F.col(f"{c}_r")]
+    # dedupe expression list by output name
+    seen: set[str] = set(keep)
+    final: list[Column] = [F.col(k) for k in keep] + gammas
+    for col in extra:
+        name = df.select(col).columns[0]
+        if name not in seen and f"gamma_" not in name:
+            seen.add(name)
+            final.append(col)
+    return df.select(*final)
