@@ -29,14 +29,22 @@ _LMAX = 256
 _CHUNK = 2048
 
 
-def _codes(s: pd.Series, lmax: int) -> tuple[np.ndarray, np.ndarray]:
-    """(n, lmax) int32 codepoint matrix padded with -1, plus lengths."""
+def _codes(s: pd.Series, lmax: int, bytes_mode: bool = False
+           ) -> tuple[np.ndarray, np.ndarray]:
+    """(n, lmax) int32 matrix padded with -1, plus lengths.
+
+    bytes_mode=True unpacks UTF-8 bytes (DuckDB's Jaro/JW operate on bytes);
+    bytes_mode=False unpacks codepoints (its Levenshtein counts codepoints).
+    """
     vals = s.fillna("").astype(str).to_numpy(dtype=object)
     n = len(vals)
     out = np.full((n, lmax), -1, dtype=np.int32)
     lens = np.empty(n, dtype=np.int32)
     for i, v in enumerate(vals):  # per-row only to unpack bytes; O(n) cheap
-        cp = np.frombuffer(v.encode("utf-32-le"), dtype=np.uint32)[:lmax]
+        if bytes_mode:
+            cp = np.frombuffer(v.encode("utf-8"), dtype=np.uint8)[:lmax]
+        else:
+            cp = np.frombuffer(v.encode("utf-32-le"), dtype=np.uint32)[:lmax]
         out[i, : len(cp)] = cp
         lens[i] = len(cp)
     return out, lens
@@ -107,8 +115,8 @@ def jaro_np(s1: pd.Series, s2: pd.Series) -> np.ndarray:
     out = np.empty(len(s1), dtype=np.float64)
     for lo in range(0, len(s1), _CHUNK):
         hi = min(lo + _CHUNK, len(s1))
-        a, la = _codes(s1.iloc[lo:hi], _LMAX)
-        b, lb = _codes(s2.iloc[lo:hi], _LMAX)
+        a, la = _codes(s1.iloc[lo:hi], _LMAX, bytes_mode=True)
+        b, lb = _codes(s2.iloc[lo:hi], _LMAX, bytes_mode=True)
         lmax = max(int(la.max(initial=0)), int(lb.max(initial=0)), 1)
         out[lo:hi] = _jaro_block(a[:, :lmax], la, b[:, :lmax], lb)
     return out
@@ -122,8 +130,8 @@ def jaro_winkler_np(s1: pd.Series, s2: pd.Series,
     out = np.empty(len(s1), dtype=np.float64)
     for lo in range(0, len(s1), _CHUNK):
         hi = min(lo + _CHUNK, len(s1))
-        a, la = _codes(s1.iloc[lo:hi], _LMAX)
-        b, lb = _codes(s2.iloc[lo:hi], _LMAX)
+        a, la = _codes(s1.iloc[lo:hi], _LMAX, bytes_mode=True)
+        b, lb = _codes(s2.iloc[lo:hi], _LMAX, bytes_mode=True)
         lmax = max(int(la.max(initial=0)), int(lb.max(initial=0)), 1)
         jaro = _jaro_block(a[:, :lmax], la, b[:, :lmax], lb)
         pl = _prefix_len(a, la, b, lb)

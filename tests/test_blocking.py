@@ -1,0 +1,99 @@
+"""Blocking semantics: pair dedupe across rules, uid ordering, hot-key
+salting equivalence (the reference's salted-vs-unsalted invariant,
+/root/reference/tests/test_salting_len.py:10-55)."""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import functions as F
+
+from memory_optimized_splink_spark.model import BlockingRule, Settings, block_on
+from memory_optimized_splink_spark.operators.blocking import (
+    block_using_rules,
+    cartesian_pairs,
+    n_largest_blocks,
+)
+
+
+def _pair_set(df):
+    return {(r["unique_id_l"], r["unique_id_r"], r["match_key"])
+            for r in df.collect()}
+
+
+def _ids_only(pairs):
+    return {(a, b) for a, b, _ in pairs}
+
+
+def test_pairs_unique_and_ordered(repo_nodes, basic_settings):
+    pairs = block_using_rules(repo_nodes, basic_settings)
+    rows = pairs.collect()
+    seen = set()
+    for r in rows:
+        assert r["unique_id_l"] < r["unique_id_r"]
+        key = (r["unique_id_l"], r["unique_id_r"])
+        assert key not in seen, "pair emitted by more than one rule"
+        seen.add(key)
+
+
+def test_multi_rule_equals_union_of_single_rules(repo_nodes, basic_settings):
+    multi = _ids_only(_pair_set(block_using_rules(repo_nodes, basic_settings)))
+    singles = set()
+    for rule in basic_settings.blocking_rules:
+        s = replace(basic_settings, blocking_rules=(replace(rule, hot_key_threshold=None),))
+        singles |= _ids_only(_pair_set(block_using_rules(repo_nodes, s)))
+    assert multi == singles
+
+
+def test_salted_equals_unsalted(repo_nodes, basic_settings):
+    """Hot-key splitting is a pure parallelism transform: identical pair set."""
+    rule = block_on("repo")
+    salted = replace(rule, hot_key_threshold=10, salting_partitions=4)
+    s_plain = replace(basic_settings, blocking_rules=(rule,))
+    s_salt = replace(basic_settings, blocking_rules=(salted,))
+    p1 = _pair_set(block_using_rules(repo_nodes, s_plain))
+    p2 = _pair_set(block_using_rules(repo_nodes, s_salt))
+    assert p1 == p2
+
+
+def test_null_keys_never_block(spark, basic_settings):
+    df = spark.createDataFrame(
+        [("1", None), ("2", None), ("3", "k"), ("4", "k")],
+        "unique_id string, repo string",
+    )
+    s = replace(basic_settings, blocking_rules=(block_on("repo"),))
+    pairs = block_using_rules(df, s)
+    assert _ids_only(_pair_set(pairs)) == {("3", "4")}
+
+
+def test_theta_rule(spark, basic_settings):
+    df = spark.createDataFrame(
+        [("1", "aa"), ("2", "ab"), ("3", "zz")], "unique_id string, repo string"
+    )
+    s = replace(
+        basic_settings,
+        blocking_rules=(BlockingRule(sql="substring(l.repo,1,1) = substring(r.repo,1,1)"),),
+    )
+    pairs = block_using_rules(df, s)
+    assert _ids_only(_pair_set(pairs)) == {("1", "2")}
+
+
+def test_cartesian_pairs_count(spark, basic_settings):
+    df = spark.createDataFrame([(str(i),) for i in range(20)], "unique_id string")
+    assert cartesian_pairs(df, basic_settings).count() == 20 * 19 // 2
+
+
+def test_n_largest_blocks(repo_nodes):
+    top = n_largest_blocks(repo_nodes, block_on("repo"), n=3).collect()
+    assert len(top) == 3
+    assert top[0]["key_0"] == "org0/repo0"  # the planted hot repo
+    assert top[0]["comparison_count"] >= top[1]["comparison_count"]
+
+
+def test_no_cartesian_product_in_equi_plan(repo_nodes, basic_settings):
+    """Plan audit (reference: tests/test_join_type_for_estimate_u_and_
+    predict_are_efficient.py): equi blocking must hash/merge join."""
+    pairs = block_using_rules(repo_nodes, basic_settings)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,92 @@
+"""Connected components vs networkx oracle (the reference's property-test
+strategy, /root/reference/tests/test_cc_random_graphs.py:13-42 and
+cc_testing_utils.py:11-53): Erdos-Renyi graphs, plus path graphs (worst case
+for min-propagation depth) and star graphs (worst case for skew)."""
+
+from __future__ import annotations
+
+import networkx as nx
+import pandas as pd
+import pytest
+
+from memory_optimized_splink_spark.fixtures import (
+    erdos_renyi_edges,
+    path_graph_edges,
+    star_graph_edges,
+)
+from memory_optimized_splink_spark.operators.cluster import (
+    solve_connected_components,
+)
+
+
+def _partition_from_membership(rows):
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r["cluster_id"], set()).add(r["node_id"])
+    return {frozenset(v) for v in clusters.values()}
+
+
+def _oracle_partition(n_nodes, edges_pdf):
+    g = nx.Graph()
+    g.add_nodes_from(range(n_nodes))
+    g.add_edges_from(edges_pdf.itertuples(index=False))
+    return {frozenset(c) for c in nx.connected_components(g)}
+
+
+def _run(spark, n_nodes: int, edges_pdf: pd.DataFrame):
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"unique_id": range(n_nodes)})
+    )
+    if len(edges_pdf):
+        edges = spark.createDataFrame(edges_pdf)
+    else:
+        edges = spark.createDataFrame([], "unique_id_l long, unique_id_r long")
+    got = solve_connected_components(nodes, edges).collect()
+    assert len(got) == n_nodes
+    return _partition_from_membership(got)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_erdos_renyi_vs_networkx(spark, seed):
+    n = 500
+    e = erdos_renyi_edges(n, 0.001, seed=seed)
+    assert _run(spark, n, e) == _oracle_partition(n, e)
+
+
+def test_path_graph(spark):
+    n = 300  # diameter 299: would need ~300 min-propagation rounds
+    e = path_graph_edges(n)
+    assert _run(spark, n, e) == {frozenset(range(n))}
+
+
+def test_star_graph(spark):
+    n = 400
+    e = star_graph_edges(n)
+    assert _run(spark, n, e) == {frozenset(range(n))}
+
+
+def test_isolated_nodes_are_singletons(spark):
+    part = _run(spark, 5, pd.DataFrame({"unique_id_l": [0], "unique_id_r": [1]}))
+    assert part == {frozenset({0, 1}), frozenset({2}), frozenset({3}), frozenset({4})}
+
+
+def test_duplicate_and_reversed_edges(spark):
+    e = pd.DataFrame({"unique_id_l": [0, 1, 1, 2], "unique_id_r": [1, 0, 2, 1]})
+    part = _run(spark, 4, e)
+    assert part == {frozenset({0, 1, 2}), frozenset({3})}
+
+
+def test_md5_cluster_ids_stable_across_parallelism(spark):
+    from pyspark.sql import functions as F
+
+    n = 100
+    e = erdos_renyi_edges(n, 0.02, seed=1)
+    nodes = spark.createDataFrame(pd.DataFrame({"unique_id": range(n)}))
+    edges = spark.createDataFrame(e)
+    a = solve_connected_components(nodes, edges, with_md5_ids=True)
+    b = solve_connected_components(
+        nodes.repartition(7), edges.repartition(3), with_md5_ids=True
+    )
+    ra = {r["node_id"]: r["cluster_id"] for r in a.collect()}
+    rb = {r["node_id"]: r["cluster_id"] for r in b.collect()}
+    assert ra == rb

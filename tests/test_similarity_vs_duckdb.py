@@ -1,0 +1,94 @@
+"""Kernel parity: numpy similarity kernels must match DuckDB's builtins
+cell-for-cell (DuckDB is the reference's default backend, so these ARE the
+reference semantics). Fuzzed, plus literal edge cases."""
+
+from __future__ import annotations
+
+import random
+import string
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from memory_optimized_splink_spark.functions.similarity import (
+    edit_distance_np,
+    jaro_np,
+    jaro_winkler_np,
+)
+
+EDGE = [
+    ("martha", "marhta"), ("", ""), ("a", ""), ("", "a"), ("abc", "abc"),
+    ("dwayne", "duane"), ("dixon", "dicksonx"), ("ab", "ba"), ("ca", "abc"),
+    ("src/core/main0.py", "src/core/mian0.py"), ("x" * 100, "x" * 99 + "y"),
+    ("prefixmatch", "prefixmxtch"), ("ünïcode", "unicode"), ("日本語", "日本誤"),
+]
+
+
+def _fuzz_pairs(n=5000, seed=3):
+    rng = random.Random(seed)
+    alpha = string.ascii_lowercase[:8] + "_./0"
+    out = []
+    for _ in range(n):
+        out.append((
+            "".join(rng.choice(alpha) for _ in range(rng.randint(0, 16))),
+            "".join(rng.choice(alpha) for _ in range(rng.randint(0, 16))),
+        ))
+    return out
+
+
+@pytest.fixture(scope="module")
+def pairs():
+    p = _fuzz_pairs() + EDGE
+    s1 = pd.Series([a for a, _ in p])
+    s2 = pd.Series([b for _, b in p])
+    con = duckdb.connect()
+    tbl = pd.DataFrame({"a": s1, "b": s2})  # noqa: F841 (registered by name)
+    ref = con.execute(
+        "select jaro_winkler_similarity(a,b) jw, jaro_similarity(a,b) j,"
+        " levenshtein(a,b) lev from tbl"
+    ).fetchdf()
+    return s1, s2, ref
+
+
+def test_jaro_winkler_matches_duckdb(pairs):
+    s1, s2, ref = pairs
+    assert np.abs(jaro_winkler_np(s1, s2) - ref.jw.to_numpy()).max() < 1e-12
+
+
+def test_jaro_matches_duckdb(pairs):
+    s1, s2, ref = pairs
+    assert np.abs(jaro_np(s1, s2) - ref.j.to_numpy()).max() < 1e-12
+
+
+def test_levenshtein_matches_duckdb(pairs):
+    s1, s2, ref = pairs
+    assert (edit_distance_np(s1, s2, damerau=False) == ref.lev.to_numpy()).all()
+
+
+def test_osa_damerau_literals():
+    # our DL is the OSA (restricted) variant, like the reference's Scala UDF;
+    # DuckDB's builtin is unrestricted, so assert literals, not duck parity.
+    s1 = pd.Series(["ab", "ca", "kitten", "abcdef"])
+    s2 = pd.Series(["ba", "abc", "sitting", "abcdef"])
+    got = edit_distance_np(s1, s2, damerau=True)
+    assert got.tolist() == [1, 3, 3, 0]
+
+
+def test_udfs_run_in_spark(spark):
+    from pyspark.sql import functions as F
+
+    from memory_optimized_splink_spark.functions.similarity import (
+        jaro_winkler_udf,
+    )
+
+    df = spark.createDataFrame(
+        [("martha", "marhta"), ("abc", "abc"), (None, "x")], ["a", "b"]
+    )
+    got = {
+        (r["a"], r["b"]): r["jw"]
+        for r in df.select("a", "b", jaro_winkler_udf("a", "b").alias("jw")).collect()
+    }
+    assert abs(got[("martha", "marhta")] - 0.9611111111111111) < 1e-12
+    assert got[("abc", "abc")] == 1.0
