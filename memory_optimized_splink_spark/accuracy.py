@@ -1,0 +1,111 @@
+"""Evaluation: truth-space table and pairwise cluster F1.
+
+Reference semantics (/root/reference/splink/internals/accuracy.py:26-293):
+- labels joined to predictions on ordered (unique_id_l, unique_id_r);
+  labeled pairs the blocking never scored get match_weight -999 (never
+  predicted positive at any real threshold, accuracy.py:89-105).
+- for every distinct threshold (descending): cumulative TP/FP/FN/TN,
+  precision = TP/(TP+FP), recall = TP/P, F1 = 2TP/(2TP+FN+FP).
+
+The threshold sweep is a window cumulative sum over the distinct weights —
+one shuffle, no per-threshold rescan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+MISSING_WEIGHT = -999.0
+
+
+def labels_with_predictions(labels: DataFrame, predictions: DataFrame
+                            ) -> DataFrame:
+    """(unique_id_l, unique_id_r, clerical_match_score) left-joined to
+    predicted match weights (ordered pairs on both sides)."""
+    lab = labels.select(
+        F.least("unique_id_l", "unique_id_r").alias("unique_id_l"),
+        F.greatest("unique_id_l", "unique_id_r").alias("unique_id_r"),
+        F.col("clerical_match_score").cast("double").alias("clerical_match_score"),
+    )
+    pred = predictions.select(
+        F.least("unique_id_l", "unique_id_r").alias("unique_id_l"),
+        F.greatest("unique_id_l", "unique_id_r").alias("unique_id_r"),
+        "match_weight", "match_probability",
+    )
+    return lab.join(pred, on=["unique_id_l", "unique_id_r"], how="left") \
+        .withColumn("match_weight",
+                    F.coalesce("match_weight", F.lit(MISSING_WEIGHT))) \
+        .withColumn("match_probability",
+                    F.coalesce("match_probability", F.lit(0.0)))
+
+
+def truth_space_table(labels: DataFrame, predictions: DataFrame,
+                      positive_threshold: float = 0.5) -> DataFrame:
+    """One row per distinct predicted match_weight, with cumulative
+    TP/FP/FN/TN and P/R/F1 when thresholding at that weight."""
+    lp = labels_with_predictions(labels, predictions).select(
+        "match_weight",
+        (F.col("clerical_match_score") >= positive_threshold)
+        .cast("int").alias("is_pos"),
+    )
+    per_t = lp.groupBy("match_weight").agg(
+        F.sum("is_pos").alias("pos_at_t"),
+        F.sum(1 - F.col("is_pos")).alias("neg_at_t"),
+    )
+    w = Window.orderBy(F.desc("match_weight")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totals = lp.agg(
+        F.sum("is_pos").alias("P"), F.sum(1 - F.col("is_pos")).alias("N")
+    ).collect()[0]
+    total_p, total_n = float(totals["P"] or 0), float(totals["N"] or 0)
+    out = per_t.select(
+        F.col("match_weight").alias("truth_threshold"),
+        F.sum("pos_at_t").over(w).cast("double").alias("tp"),
+        F.sum("neg_at_t").over(w).cast("double").alias("fp"),
+    ).withColumn("fn", F.lit(total_p) - F.col("tp")) \
+     .withColumn("tn", F.lit(total_n) - F.col("fp"))
+    return out.select(
+        "truth_threshold", "tp", "fp", "fn", "tn",
+        (F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1.0)))
+        .alias("precision"),
+        (F.col("tp") / F.lit(max(total_p, 1.0))).alias("recall"),
+        (2 * F.col("tp")
+         / F.greatest(2 * F.col("tp") + F.col("fn") + F.col("fp"), F.lit(1.0)))
+        .alias("f1"),
+    )
+
+
+def pairwise_cluster_f1(membership: DataFrame, pred_col: str = "cluster_id",
+                        truth_col: str = "cluster") -> dict[str, float]:
+    """Pairwise precision/recall/F1 of a predicted clustering vs ground
+    truth, computed entirely with aggregations (no pair materialization):
+    TP = sum over (pred, truth) cells of C(n,2); P/T likewise."""
+    def _pairs(df: DataFrame, cols: list[str]) -> float:
+        return float(
+            df.groupBy(*cols).count()
+            .select(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("v"))
+            .collect()[0]["v"] or 0.0
+        )
+
+    tp = _pairs(membership, [pred_col, truth_col])
+    p = _pairs(membership, [pred_col])
+    t = _pairs(membership, [truth_col])
+    precision = tp / p if p else 1.0
+    recall = tp / t if t else 1.0
+    f1 = 2 * tp / (p + t) if (p + t) else 1.0
+    return {"precision": precision, "recall": recall, "f1": f1,
+            "tp_pairs": tp, "pred_pairs": p, "truth_pairs": t}
+
+
+def prediction_errors(labels: DataFrame, predictions: DataFrame,
+                      threshold_weight: float,
+                      positive_threshold: float = 0.5) -> DataFrame:
+    """FP/FN lists at one threshold (accuracy.py:447-560)."""
+    lp = labels_with_predictions(labels, predictions)
+    pred_pos = F.col("match_weight") >= threshold_weight
+    is_pos = F.col("clerical_match_score") >= positive_threshold
+    return lp.withColumn(
+        "error_type",
+        F.when(pred_pos & ~is_pos, F.lit("FP"))
+         .when(~pred_pos & is_pos, F.lit("FN")),
+    ).where(F.col("error_type").isNotNull())

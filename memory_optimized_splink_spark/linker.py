@@ -1,0 +1,192 @@
+"""SparkLinker: the user-facing pipeline (reference: splink.Linker).
+
+Wires nodes -> TF -> blocking -> comparison vectors -> predict -> clusters
+through the checkpoint registry, so every stage is resumable and logged
+(north rule). Entry points mirror the reference's linker components:
+inference.predict (linker_components/inference.py:177-605), clustering
+(linker_components/clustering.py:43-181), training
+(linker_components/training.py), realtime find_matches_to_new_records /
+compare_two_records (inference.py:770-1118).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import replace
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .accuracy import pairwise_cluster_f1, truth_space_table
+from .model import Settings, prob_to_bayes_factor
+from .operators.blocking import block_using_rules
+from .operators.cluster import solve_connected_components
+from .operators.nodes import join_tf_columns
+from .operators.score import predict as predict_op
+from .operators.vectors import compute_comparison_vectors
+from .plans.checkpoint import CheckpointRegistry
+from .plans.metrics import MetricsLog
+from . import train as train_mod
+
+
+class SparkLinker:
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_table: DataFrame,
+        settings: Settings,
+        checkpoint_dir: str | None = None,
+        enable_checkpoints: bool = False,
+    ):
+        self.spark = spark
+        self.settings = settings.with_defaults()
+        self._input = input_table
+        self.metrics = MetricsLog(
+            f"{checkpoint_dir}/lineage.jsonl" if checkpoint_dir else None
+        )
+        self.registry = CheckpointRegistry(
+            spark, checkpoint_dir or "/tmp/mos_spark_ckpt", metrics=self.metrics,
+            enabled=enable_checkpoints,
+        )
+        self._nodes: DataFrame | None = None
+        self._tf_tables: dict[str, DataFrame] = {}
+
+    # ------------------------------------------------------------- stages
+    def _config(self, **extra) -> dict:
+        return {"settings": self.settings.to_json(), **extra}
+
+    def nodes(self) -> DataFrame:
+        if self._nodes is None:
+            def build():
+                df, tf = join_tf_columns(self._input, self.settings)
+                self._tf_tables = tf
+                return df
+            self._nodes = self.registry.stage("nodes", self._config(), build)
+        return self._nodes
+
+    def blocked_pairs(self) -> DataFrame:
+        nodes = self.nodes()
+        pairs = self.registry.stage(
+            "blocked_pairs", self._config(),
+            lambda: block_using_rules(nodes, self.settings),
+        )
+        return pairs
+
+    def comparison_vectors(self) -> DataFrame:
+        nodes = self.nodes()
+        pairs = self.blocked_pairs()
+        if pairs.isEmpty():  # zero-pairs guard (inference.py:281-291)
+            raise ValueError("blocking produced 0 candidate pairs")
+        return self.registry.stage(
+            "comparison_vectors", self._config(),
+            lambda: compute_comparison_vectors(pairs, nodes, self.settings),
+        )
+
+    def predict(
+        self,
+        threshold_match_probability: float | None = None,
+        threshold_match_weight: float | None = None,
+    ) -> DataFrame:
+        cv = self.comparison_vectors()
+        n_records = None
+        if any(lv.tf_adjustment for c in self.settings.comparisons
+               for lv in c.levels):
+            n_records = self.nodes().count()
+        return self.registry.stage(
+            "predict",
+            self._config(tp=threshold_match_probability,
+                         tw=threshold_match_weight),
+            lambda: predict_op(
+                cv, self.settings, n_records=n_records,
+                threshold_match_probability=threshold_match_probability,
+                threshold_match_weight=threshold_match_weight,
+            ),
+        )
+
+    def cluster(self, threshold_match_probability: float,
+                with_md5_ids: bool = False) -> DataFrame:
+        nodes = self.nodes()
+        pred = self.predict()
+        uid = self.settings.unique_id_column_name
+
+        def build():
+            edges = pred.where(
+                F.col("match_probability") >= threshold_match_probability
+            ).select("unique_id_l", "unique_id_r")
+            member = solve_connected_components(
+                nodes, edges, node_col=uid, with_md5_ids=with_md5_ids
+            )
+            return nodes.join(
+                member.withColumnRenamed("node_id", uid), on=uid
+            )
+
+        return self.registry.stage(
+            "clusters", self._config(t=threshold_match_probability,
+                                     md5=with_md5_ids), build,
+        )
+
+    # ------------------------------------------------------------ training
+    def estimate_u(self, max_pairs: float = 1e6) -> "SparkLinker":
+        self.settings = train_mod.estimate_u_using_random_sampling(
+            self.nodes(), self.settings, max_pairs=max_pairs
+        )
+        return self
+
+    def estimate_m_with_em(self, training_rule, fix_u: bool = True
+                           ) -> list[dict]:
+        self.settings, history = train_mod.estimate_parameters_using_em(
+            self.nodes(), self.settings, training_rule, fix_u=fix_u
+        )
+        for h in history:
+            self.metrics.log(stage="em", **h)
+        return history
+
+    # ------------------------------------------------------------ realtime
+    def find_matches_to_new_records(self, new_records: DataFrame,
+                                    threshold_match_probability: float = 0.0
+                                    ) -> DataFrame:
+        """Score new records against the existing node table
+        (inference.py:770-926): same blocking rules, cross-dataset only."""
+        uid = self.settings.unique_id_column_name
+        nodes = self.nodes()
+        new_nodes, _ = join_tf_columns(new_records, self.settings,
+                                       self._tf_tables or None)
+        marked = nodes.withColumn("_ds", F.lit(0)).unionByName(
+            new_nodes.select(nodes.columns).withColumn("_ds", F.lit(1)),
+            allowMissingColumns=True,
+        )
+        s = replace(self.settings,
+                    additional_columns_to_retain=tuple(
+                        set(self.settings.additional_columns_to_retain) | {"_ds"}))
+        pairs = block_using_rules(marked, s)
+        cv = compute_comparison_vectors(pairs, marked, s)
+        cv = cv.where(F.col("_ds_l") + F.col("_ds_r") == 1).drop("_ds_l", "_ds_r")
+        return predict_op(
+            cv, self.settings,
+            n_records=nodes.count() if self.settings.tf_columns else None,
+            threshold_match_probability=threshold_match_probability,
+        )
+
+    def compare_two_records(self, rec_l: dict, rec_r: dict) -> DataFrame:
+        """Single-pair scoring (inference.py:928-1118)."""
+        uid = self.settings.unique_id_column_name
+        schema_cols = [c for c in self._input.columns]
+        l = {**{c: None for c in schema_cols}, **rec_l, uid: "l"}
+        r = {**{c: None for c in schema_cols}, **rec_r, uid: "r"}
+        two = self.spark.createDataFrame([l, r], self._input.schema)
+        two, _ = join_tf_columns(two, self.settings, self._tf_tables or None)
+        pairs = self.spark.createDataFrame(
+            [("0", "l", "r")], "match_key string, unique_id_l string, unique_id_r string"
+        )
+        cv = compute_comparison_vectors(pairs, two, self.settings)
+        return predict_op(cv, self.settings,
+                          n_records=self.nodes().count()
+                          if self.settings.tf_columns else None)
+
+    # ---------------------------------------------------------- evaluation
+    def truth_space(self, labels: DataFrame) -> DataFrame:
+        return truth_space_table(labels, self.predict())
+
+    def cluster_f1(self, threshold: float, truth_col: str = "cluster") -> dict:
+        uid = self.settings.unique_id_column_name
+        mem = self.cluster(threshold).select(uid, "cluster_id", truth_col)
+        return pairwise_cluster_f1(mem, truth_col=truth_col)

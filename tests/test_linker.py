@@ -1,0 +1,89 @@
+"""SparkLinker integration: checkpoint resume, truth space, realtime APIs."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from memory_optimized_splink_spark.linker import SparkLinker
+
+
+def test_checkpoint_resume(spark, repo_nodes, basic_settings, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    l1 = SparkLinker(spark, repo_nodes, basic_settings,
+                     checkpoint_dir=ckpt, enable_checkpoints=True)
+    n1 = l1.predict().count()
+    assert os.path.exists(os.path.join(ckpt, "blocked_pairs"))
+    # a fresh linker with identical settings resumes instead of recomputing
+    l2 = SparkLinker(spark, repo_nodes, basic_settings,
+                     checkpoint_dir=ckpt, enable_checkpoints=True)
+    n2 = l2.predict().count()
+    assert n1 == n2
+    events = [r.get("event") for r in l2.metrics.records]
+    assert "resume_from_checkpoint" in events
+    # lineage log captures per-partition stats for completed stages
+    stage_recs = [r for r in l1.metrics.records if r.get("event") == "stage_complete"]
+    assert stage_recs and all("partition_rows_max" in r for r in stage_recs)
+
+
+def test_truth_space(spark, repo_nodes, basic_settings):
+    from memory_optimized_splink_spark.fixtures import (
+        labeled_pairs_pandas, repo_files_pandas, RepoFilesSpec,
+    )
+    import pandas as pd
+
+    linker = SparkLinker(spark, repo_nodes, basic_settings)
+    pdf = repo_nodes.select("unique_id", "cluster", "repo").toPandas()
+    # labels: positives within entity + same-repo hard negatives
+    base = pdf.rename(columns={"cluster": "cluster"})
+    labels = labeled_pairs_pandas(
+        base[["repo", "cluster"]].assign(
+            path="", commit="", lang="", content=""),
+        base["unique_id"],
+    )
+    labels_df = spark.createDataFrame(labels)
+    ts = linker.truth_space(labels_df).orderBy(F.desc("truth_threshold"))
+    rows = ts.collect()
+    assert len(rows) > 1
+    # precision should be high at the top threshold, recall ~1 at the bottom
+    assert rows[0]["precision"] >= 0.99
+    assert rows[-1]["recall"] >= 0.99
+    # cumulative sanity: tp non-decreasing as threshold drops
+    tps = [r["tp"] for r in rows]
+    assert tps == sorted(tps)
+
+
+def test_cluster_f1_gate(spark, repo_nodes, basic_settings):
+    linker = SparkLinker(spark, repo_nodes, basic_settings)
+    res = linker.cluster_f1(threshold=0.9)
+    assert res["f1"] >= 0.99
+
+
+def test_find_matches_to_new_records(spark, repo_nodes, basic_settings):
+    linker = SparkLinker(spark, repo_nodes, basic_settings)
+    new = repo_nodes.limit(3).withColumn(
+        "unique_id", F.concat(F.col("unique_id"), F.lit("_new"))
+    )
+    matches = linker.find_matches_to_new_records(
+        new, threshold_match_probability=0.5)
+    assert matches.count() >= 3  # each copied record matches its original
+    uid_cols = matches.select("unique_id_l", "unique_id_r").collect()
+    assert all(
+        (r["unique_id_l"].endswith("_new")) != (r["unique_id_r"].endswith("_new"))
+        for r in uid_cols
+    )
+
+
+def test_compare_two_records(spark, repo_nodes, basic_settings):
+    linker = SparkLinker(spark, repo_nodes, basic_settings)
+    row = repo_nodes.limit(1).collect()[0].asDict()
+    same = linker.compare_two_records(row, dict(row)).collect()[0]
+    assert same["match_probability"] > 0.99
+    other = dict(row)
+    other["content_sha"] = "0" * 64
+    other["path"] = "totally/different/zzz.md"
+    diff = linker.compare_two_records(row, other).collect()[0]
+    assert diff["match_probability"] < same["match_probability"]

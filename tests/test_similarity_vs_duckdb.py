@@ -63,8 +63,15 @@ def test_jaro_matches_duckdb(pairs):
 
 
 def test_levenshtein_matches_duckdb(pairs):
+    # DuckDB levenshtein is byte-based; ours matches Spark's builtin
+    # (codepoint-based). They agree on ASCII, which is what the engine's
+    # oracle-checked columns (repo/path/lang) contain.
     s1, s2, ref = pairs
-    assert (edit_distance_np(s1, s2, damerau=False) == ref.lev.to_numpy()).all()
+    ascii_mask = np.array(
+        [a.isascii() and b.isascii() for a, b in zip(s1, s2)]
+    )
+    got = edit_distance_np(s1, s2, damerau=False)
+    assert (got[ascii_mask] == ref.lev.to_numpy()[ascii_mask]).all()
 
 
 def test_osa_damerau_literals():
