@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k. The query side is small by
+  construction (it's the side you broadcast); the corpus side streams —
+  one broadcast-hash join, no shuffle of the corpus, window top-k per query.
+- ivf_topk: IVF-style scale path. A k-means-lite codebook (deterministic
+  seeded sample + a few Lloyd iterations on the driver over a sample) maps
+  every vector to its nearest centroid; queries probe `n_probe` centroids so
+  the join is an equi-join on centroid id over a small fraction of the
+  corpus. This is the standard sub-linear ANN layout expressed as
+  DataFrames: partition pruning comes from the centroid equi-join.
+
+Dot products use native zip_with/aggregate (JVM codegen); the k-means-lite
+fit uses numpy on a bounded sample only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    den = _norm(a) * _norm(b)
+    return F.when(den > 0, _dot(a, b) / den).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec_id, cosine, rank) — exact top-k by cosine."""
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).cast("array<double>").alias("_cv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("_qv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id",
+        cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    ).where(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.select("*", F.row_number().over(w).alias("rank")) \
+        .where(F.col("rank") <= k)
+
+
+def fit_centroids(corpus: DataFrame, vec_col: str = "embedding",
+                  n_centroids: int = 16, sample: int = 4096, seed: int = 42,
+                  iters: int = 8) -> np.ndarray:
+    """k-means-lite on a deterministic sample (driver-side numpy)."""
+    rows = (
+        corpus.select(F.col(vec_col).cast("array<double>"))
+        .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>").cast("string")))
+        .limit(sample).collect()
+    )
+    x = np.array([r[0] for r in rows])
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        lab = d.argmin(1)
+        for c in range(len(cent)):
+            if (lab == c).any():
+                cent[c] = x[lab == c].mean(0)
+    return cent
+
+
+def _centroid_assign(vec: Column, centroids: np.ndarray,
+                     n_probe: int = 1) -> Column:
+    """array of the n_probe nearest centroid ids (by cosine), native SQL."""
+    sims = F.array(*[
+        _dot(vec, F.array(*[F.lit(float(v)) for v in c]))
+        / F.greatest(_norm(vec), F.lit(1e-12))
+        for c in centroids
+    ])
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    pairs = F.zip_with(sims, idx,
+                       lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+    top = F.slice(F.reverse(F.array_sort(pairs)), 1, n_probe)
+    return F.transform(top, lambda p: p["i"])
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: np.ndarray | None = None, n_centroids: int = 16,
+    n_probe: int = 4, seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: corpus bucketed by nearest centroid; each query
+    scans only its n_probe nearest buckets (equi-join on centroid id)."""
+    if centroids is None:
+        centroids = fit_centroids(corpus, vec_col, n_centroids, seed=seed)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).withColumn("cid", _centroid_assign(F.col("_cv"), centroids, 1)[0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("cid", F.explode(
+        _centroid_assign(F.col("_qv"), centroids, n_probe)))
+    scored = c.join(F.broadcast(q), on="cid").select(
+        "query_id", "vec_id",
+        cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    ).where(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.select("*", F.row_number().over(w).alias("rank")) \
+        .where(F.col("rank") <= k)

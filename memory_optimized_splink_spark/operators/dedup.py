@@ -1,0 +1,262 @@
+"""Large-scale deduplication operators for training-data pipelines.
+
+These extend the record-linkage engine with document-level dedup primitives
+(exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine): each is a
+specialization of the engine's block -> compare -> cluster pattern where
+the blocking key is content-derived.
+
+Scale design:
+- exact dedup is one hash groupBy on sha2(text) — no pair materialization.
+- MinHash signatures are computed in a single projection with native Spark
+  SQL higher-order functions (transform/aggregate over shingle hashes — no
+  Python in the loop); LSH banding turns near-dup search into an equi-join
+  on (band_id, band_hash), i.e. exactly the engine's repartition-by-key
+  blocking join, so it inherits hot-key handling and AQE skew splitting.
+- SimHash packs 64 per-bit majority votes into one BIGINT with bitwise
+  aggregates; candidate pairs come from banding the 64 bits into 4x16-bit
+  equi-join keys (Hamming distance <= 3 guaranteed recall within bands).
+- n-gram Jaccard verifies candidates with native array_intersect/union.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Mersenne prime for the affine minhash family. 2^31-1 keeps a*h < 2^62 so
+# the native BIGINT multiply can't overflow (Spark 4 runs ANSI mode).
+_MERSENNE = (1 << 31) - 1
+
+
+def _shingles(col: Column, k: int = 5) -> Column:
+    """Character k-shingles as distinct array<string> (lowercased)."""
+    lowered = F.lower(col)
+    n = F.greatest(F.length(lowered) - F.lit(k - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n)
+    return F.array_distinct(
+        F.transform(idx, lambda i: lowered.substr(i, F.lit(k)))
+    )
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles (token n-grams) as distinct array<string>."""
+    toks = F.split(F.trim(F.lower(col)), r"\s+")
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), n - F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), F.lit(k)))
+        )
+    )
+
+
+def minhash_signature(col: Column, num_hashes: int = 64, k: int = 5,
+                      seed: int = 42) -> Column:
+    """array<bigint> MinHash signature over character k-shingles.
+
+    h_i(x) = (a_i * xxhash64(x) + b_i) mod p, min over shingles — all native
+    Spark SQL (xxhash64 + aggregate), vectorized by codegen.
+    """
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+              for _ in range(num_hashes)]
+    sh = _shingles(col, k)
+    base = F.transform(sh, lambda s: F.xxhash64(s))
+    mins = [
+        F.aggregate(
+            base,
+            F.lit(_MERSENNE).cast("long"),
+            lambda acc, h: F.least(
+                acc,
+                F.pmod(F.lit(a) * F.pmod(h, F.lit(_MERSENNE)) + F.lit(b),
+                       F.lit(_MERSENNE)).cast("long"),
+            ),
+        )
+        for a, b in coeffs
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    signature -> `bands` slices of num_hashes/bands values; docs sharing any
+    (band_id, band_hash) bucket become a candidate pair. The bucket join is
+    an equi self-join on the band key — the same shuffle shape as blocking.
+    Output: (id_l, id_r, n_common_bands).
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k, seed).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.slice(F.col("_sig"), b * rows_per_band + 1,
+                                   rows_per_band))
+                for b in range(bands)
+            ])
+        ).alias("band_id", "band_hash"),
+    )
+    l = banded.alias("l")
+    r = banded.alias("r")
+    return (
+        l.join(r, (F.col("l.band_id") == F.col("r.band_id"))
+               & (F.col("l.band_hash") == F.col("r.band_hash"))
+               & (F.col("l._id") < F.col("r._id")))
+        .groupBy(F.col("l._id").alias("id_l"), F.col("r._id").alias("id_r"))
+        .agg(F.count(F.lit(1)).alias("n_common_bands"))
+    )
+
+
+def ngram_jaccard(col_l: Column, col_r: Column, k: int = 5) -> Column:
+    """Exact Jaccard over character k-shingles — native array ops."""
+    a, b = _shingles(col_l, k), _shingles(col_r, k)
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    jaccard_threshold: float = 0.8, **lsh_kw,
+) -> DataFrame:
+    """LSH candidates verified with exact n-gram Jaccard (the standard
+    candidate->verify near-dup pipeline). Output: (id_l, id_r, jaccard)."""
+    cand = minhash_lsh_pairs(df, id_col, text_col, **lsh_kw)
+    side = lambda s: df.select(F.col(id_col).alias(f"id_{s}"),
+                               F.col(text_col).alias(f"_t_{s}"))
+    k = lsh_kw.get("shingle_k", 5)
+    return (
+        cand.join(side("l"), on="id_l").join(side("r"), on="id_r")
+        .withColumn("jaccard", ngram_jaccard(F.col("_t_l"), F.col("_t_r"), k))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_l", "id_r", "jaccard")
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by sha2(text): (doc id, dup_group_id,
+    group_size, is_canonical). One shuffle, no pairs."""
+    from pyspark.sql import Window
+
+    h = df.select(F.col(id_col).alias("doc_id"),
+                  F.sha2(F.col(text_col), 256).alias("dup_group_id"))
+    w = Window.partitionBy("dup_group_id")
+    return h.select(
+        "doc_id", "dup_group_id",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (F.min("doc_id").over(w) == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
+# ------------------------------------------------------------------ SimHash
+
+def simhash64(col: Column, seed: int = 0) -> Column:
+    """64-bit SimHash over whitespace tokens, packed into one BIGINT.
+
+    For each bit position: sum of (+1/-1) votes from each token hash; bit set
+    when the vote is positive. All in native higher-order functions.
+    """
+    toks = F.array_distinct(F.split(F.trim(F.lower(col)), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+    bit_exprs = []
+    for bit in range(64):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(
+                h.bitwiseAND(F.lit(1 << bit) if bit < 63 else F.lit(-(1 << 63)))
+                != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        bit_exprs.append(
+            F.when(votes > 0,
+                   F.lit(1 << bit) if bit < 63 else F.lit(-(1 << 63))
+                   ).otherwise(F.lit(0)).cast("long")
+        )
+    out = bit_exprs[0]
+    for b in bit_exprs[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
+                            max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates: band the 64-bit simhash into 4 x 16-bit keys;
+    any pair within Hamming distance 3 shares at least one exact band
+    (pigeonhole). Verify with bit_count(xor) <= max_hamming."""
+    sim = df.select(F.col(id_col).alias("_id"),
+                    simhash64(F.col(text_col)).alias("_sh"))
+    banded = sim.select(
+        "_id", "_sh",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("_sh"), b * 16).bitwiseAND(F.lit(0xFFFF))
+            for b in range(4)
+        ])).alias("band_id", "band_key"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(r, (F.col("l.band_id") == F.col("r.band_id"))
+               & (F.col("l.band_key") == F.col("r.band_key"))
+               & (F.col("l._id") < F.col("r._id")))
+        .select(F.col("l._id").alias("id_l"), F.col("r._id").alias("id_r"),
+                F.expr("bit_count(l._sh ^ r._sh)").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ------------------------------------------------- embedding near-duplicate
+
+def embedding_cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str,
+    threshold: float = 0.95, n_planes: int = 16, seed: int = 7,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine, blocked by a random-hyperplane
+    (SRP-LSH) sketch so the verify join is an equi-join, not a cross join.
+    Exact cosine verification via native zip_with/aggregate."""
+    import numpy as np
+
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    plane_lits = [F.array(*[F.lit(float(x)) for x in p]) for p in planes]
+
+    def dot(a: Column, b: Column) -> Column:
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, v: acc + v)
+
+    sketch_bits = [
+        F.when(dot(F.col(vec_col).cast("array<double>"), pl) > 0, F.lit(1 << i))
+        .otherwise(F.lit(0)).cast("long")
+        for i, pl in enumerate(plane_lits)
+    ]
+    sk = sketch_bits[0]
+    for b in sketch_bits[1:]:
+        sk = sk.bitwiseOR(b)
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.col(vec_col).cast("array<double>").alias("_v"),
+                     sk.alias("_sketch"))
+    l, r = base.alias("l"), base.alias("r")
+    cos = dot(F.col("l._v"), F.col("r._v")) / (
+        F.sqrt(dot(F.col("l._v"), F.col("l._v")))
+        * F.sqrt(dot(F.col("r._v"), F.col("r._v")))
+    )
+    return (
+        l.join(r, (F.col("l._sketch") == F.col("r._sketch"))
+               & (F.col("l._id") < F.col("r._id")))
+        .select(F.col("l._id").alias("id_l"), F.col("r._id").alias("id_r"),
+                cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,85 @@
+"""Dedup operator correctness on constructed near/exact duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from memory_optimized_splink_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_dedup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash_candidate_pairs,
+)
+
+DOCS = [
+    ("d1", "the quick brown fox jumps over the lazy dog again and again"),
+    ("d2", "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of d1
+    ("d3", "the quick brown fox jumped over the lazy dog again and again"),  # near dup
+    ("d4", "completely different content about spark partitions and shuffles"),
+    ("d5", "spark partitions and shuffles are completely different content about"),  # shuffled d4 words
+    ("d6", "totally unrelated short text"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string").cache()
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r for r in exact_dedup(docs, "doc_id", "text").collect()}
+    assert out["d1"]["dup_group_id"] == out["d2"]["dup_group_id"]
+    assert out["d1"]["group_size"] == 2
+    assert out["d1"]["is_canonical"] and not out["d2"]["is_canonical"]
+    assert out["d3"]["group_size"] == 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["id_l"], r["id_r"])
+             for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()}
+    assert ("d1", "d2") in pairs
+    assert ("d1", "d3") in pairs or ("d2", "d3") in pairs
+    assert ("d1", "d6") not in pairs and ("d4", "d6") not in pairs
+
+
+def test_minhash_verified_jaccard(docs):
+    out = {(r["id_l"], r["id_r"]): r["jaccard"]
+           for r in minhash_dedup_pairs(docs, "doc_id", "text",
+                                        jaccard_threshold=0.5).collect()}
+    assert out[("d1", "d2")] == 1.0
+    assert all(j >= 0.5 for j in out.values())
+
+
+def test_ngram_jaccard_expr(spark):
+    df = spark.createDataFrame([("abcdef", "abcdef"), ("abcdef", "zzzzzz")],
+                               "a string, b string")
+    got = df.select(ngram_jaccard(F.col("a"), F.col("b"), 3).alias("j")).collect()
+    assert got[0]["j"] == 1.0
+    assert got[1]["j"] == 0.0
+
+
+def test_simhash_candidates(docs):
+    pairs = {(r["id_l"], r["id_r"]): r["hamming"]
+             for r in simhash_candidate_pairs(docs, "doc_id", "text",
+                                              max_hamming=10).collect()}
+    assert ("d1", "d2") in pairs and pairs[("d1", "d2")] == 0
+    # d5 is d4 word-shuffled plus one extra token -> small hamming distance
+    assert ("d4", "d5") in pairs and pairs[("d4", "d5")] <= 10
+    assert ("d1", "d6") not in pairs
+
+
+def test_embedding_cosine_pairs(spark):
+    rows = [
+        ("v1", [1.0, 0.0, 0.0, 0.0]),
+        ("v2", [0.999, 0.01, 0.0, 0.0]),   # near dup of v1
+        ("v3", [0.0, 1.0, 0.0, 0.0]),
+        ("v4", [0.0, 0.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    got = {(r["id_l"], r["id_r"]) for r in embedding_cosine_pairs(
+        df, "vec_id", "embedding", threshold=0.99, n_planes=8).collect()}
+    assert ("v1", "v2") in got
+    assert ("v1", "v3") not in got
