@@ -1,0 +1,752 @@
+"""Driver-contract query catalogue (__spark_entry__.py backend).
+
+Each entry in QUERIES runs an operator from SURVEY.md §2 (or a
+training-data-pipeline operator) on the driver-generated parquet tables at a
+given sf dir; ORACLES holds the equivalent DuckDB SQL. Column names and
+rounding are matched on both sides (the driver hash-compares values).
+
+The record-linkage queries run over a repo-file-shaped table derived
+DETERMINISTICALLY from `documents` (BASELINE.json input_hint shape:
+repo/path/commit/lang/content), so the whole Fellegi-Sunter pipeline is
+oracle-checked end to end: derivation -> TF -> blocking -> gammas ->
+match weights -> truth space. Cross-engine hashing uses sha256 (identical
+in Spark/DuckDB) and a poly31 rolling hash (identical by construction);
+Jaro-Winkler/levenshtein use DuckDB builtins vs our bit-identical kernels.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from .model import Comparison, ComparisonLevel, Settings, block_on
+from .operators.blocking import block_using_rules
+from .operators.cluster import solve_connected_components
+from .operators.nodes import derive_repo_file_ids
+from .operators.score import predict as predict_op
+from .operators.vectors import compute_comparison_vectors
+
+P31 = 2147483647  # 2^31-1, the cross-engine poly-hash modulus
+
+# ---------------------------------------------------------------- the model
+
+M_U = {
+    "content_sha": {1: (0.9, 1e-4), 0: (0.1, 0.9999)},
+    "path": {3: (0.6, 0.01), 2: (0.3, 0.02), 1: (0.05, 0.05), 0: (0.05, 0.92)},
+}
+PRIOR = 0.01
+
+
+def entry_settings() -> Settings:
+    mu = lambda c, g: dict(m=M_U[c][g][0], u=M_U[c][g][1])
+    return Settings(
+        comparisons=(
+            Comparison("content_sha", "content_sha", (
+                ComparisonLevel("null"),
+                ComparisonLevel("exact", **mu("content_sha", 1)),
+                ComparisonLevel("else", **mu("content_sha", 0)),
+            )),
+            Comparison("path", "path", (
+                ComparisonLevel("null"),
+                ComparisonLevel("exact", **mu("path", 3)),
+                ComparisonLevel("jaro_winkler", threshold=0.9401, **mu("path", 2)),
+                ComparisonLevel("levenshtein", threshold=4, **mu("path", 1)),
+                ComparisonLevel("else", **mu("path", 0)),
+            )),
+        ),
+        blocking_rules=(block_on("content_sha"), block_on("repo")),
+        probability_two_random_records_match=PRIOR,
+    )
+
+
+# ------------------------------------------------------- shared derivations
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def repo_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", "source",
+        F.concat(F.lit("org"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit("/repo"), (F.col("doc_id") % 101).cast("string")
+                 ).alias("repo"),
+        F.concat(F.lit("src/"), F.col("source"), F.lit("/doc"),
+                 (F.col("doc_id") % 997).cast("string"), F.lit("."),
+                 F.col("lang")).alias("path"),
+        F.sha2(F.concat(F.lit("c"), F.col("doc_id").cast("string")), 256)
+        .substr(1, 40).alias("commit"),
+        F.col("text").alias("content"),
+    )
+
+
+def nodes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive_repo_file_ids(repo_files(spark, sf_dir))
+
+
+RF_CTE = """
+rf AS (
+  SELECT doc_id, lang, source,
+    'org' || CAST(doc_id % 7 AS VARCHAR) || '/repo'
+          || CAST(doc_id % 101 AS VARCHAR) AS repo,
+    'src/' || source || '/doc' || CAST(doc_id % 997 AS VARCHAR)
+           || '.' || lang AS path,
+    substr(sha256('c' || CAST(doc_id AS VARCHAR)), 1, 40) AS commit,
+    text AS content
+  FROM documents
+),
+nodes AS (
+  SELECT rf.*,
+    sha256(concat_ws(chr(1), repo, path, commit)) AS unique_id,
+    sha256(content) AS content_sha
+  FROM rf
+)
+"""
+
+PAIRS_CTE = RF_CTE + """,
+pairs AS (
+  SELECT '0' AS match_key,
+         l.unique_id AS unique_id_l, r.unique_id AS unique_id_r,
+         l.path AS path_l, r.path AS path_r,
+         l.content_sha AS csha_l, r.content_sha AS csha_r
+  FROM nodes l JOIN nodes r ON l.content_sha = r.content_sha
+  WHERE l.unique_id < r.unique_id
+  UNION ALL
+  SELECT '1', l.unique_id, r.unique_id, l.path, r.path,
+         l.content_sha, r.content_sha
+  FROM nodes l JOIN nodes r ON l.repo = r.repo
+  WHERE l.unique_id < r.unique_id
+    AND NOT COALESCE(l.content_sha = r.content_sha, FALSE)
+)
+"""
+
+CV_CTE = PAIRS_CTE + """,
+cv AS (
+  SELECT match_key, unique_id_l, unique_id_r,
+    CASE WHEN csha_l IS NULL OR csha_r IS NULL THEN -1
+         WHEN csha_l = csha_r THEN 1 ELSE 0 END AS gamma_content_sha,
+    CASE WHEN path_l IS NULL OR path_r IS NULL THEN -1
+         WHEN path_l = path_r THEN 3
+         WHEN jaro_winkler_similarity(path_l, path_r) >= 0.9401 THEN 2
+         WHEN levenshtein(path_l, path_r) <= 4 THEN 1
+         ELSE 0 END AS gamma_path
+  FROM pairs
+)
+"""
+
+
+def _bf_case(comp: str) -> str:
+    whens = " ".join(
+        f"WHEN gamma_{comp} = {g} THEN CAST({m} AS DOUBLE)/CAST({u} AS DOUBLE)"
+        for g, (m, u) in M_U[comp].items()
+    )
+    return f"(CASE WHEN gamma_{comp} = -1 THEN 1.0 {whens} END)"
+
+
+PREDICT_CTE = CV_CTE + f""",
+scored AS (
+  SELECT match_key, unique_id_l, unique_id_r, gamma_content_sha, gamma_path,
+    CAST({PRIOR / (1 - PRIOR)!r} AS DOUBLE)
+      * {_bf_case("content_sha")} * {_bf_case("path")} AS bf
+  FROM cv
+),
+predictions AS (
+  SELECT match_key, unique_id_l, unique_id_r, gamma_content_sha, gamma_path,
+    ROUND(log2(bf), 6) AS match_weight,
+    ROUND(bf / (1 + bf), 6) AS match_probability
+  FROM scored
+)
+"""
+
+
+def _spark_pairs(spark, sf_dir) -> tuple[DataFrame, DataFrame, Settings]:
+    s = entry_settings()
+    nodes = nodes_df(spark, sf_dir)
+    return block_using_rules(nodes, s), nodes, s
+
+
+def _spark_predict(spark, sf_dir) -> DataFrame:
+    pairs, nodes, s = _spark_pairs(spark, sf_dir)
+    cv = compute_comparison_vectors(pairs, nodes, s)
+    pred = predict_op(cv, s)
+    return pred.select(
+        "match_key", "unique_id_l", "unique_id_r",
+        "gamma_content_sha", "gamma_path",
+        F.round("match_weight", 6).alias("match_weight"),
+        F.round("match_probability", 6).alias("match_probability"),
+    )
+
+
+# ------------------------------------------------------------------ queries
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# --- §2.1/2.2/2.7: derivation, projection, hash helpers ---------------------
+
+@q("repo_file_ids", f"WITH {RF_CTE} SELECT unique_id, content_sha, repo, path, lang FROM nodes")
+def q_repo_file_ids(spark, sf_dir):
+    return nodes_df(spark, sf_dir).select(
+        "unique_id", "content_sha", "repo", "path", "lang")
+
+
+# --- §2.4: TF tables (term_frequencies.py:83-92) ----------------------------
+
+@q("tf_table",
+   f"WITH {RF_CTE} SELECT lang, CAST(COUNT(*) AS DOUBLE) AS tf_lang "
+   "FROM nodes WHERE lang IS NOT NULL GROUP BY lang")
+def q_tf_table(spark, sf_dir):
+    from .operators.nodes import compute_tf_table
+    return compute_tf_table(nodes_df(spark, sf_dir), "lang")
+
+
+# --- §2.3: blocking joins (blocking.py) --------------------------------------
+
+@q("blocking_pairs",
+   f"WITH {PAIRS_CTE} SELECT match_key, unique_id_l, unique_id_r FROM pairs")
+def q_blocking_pairs(spark, sf_dir):
+    pairs, _, _ = _spark_pairs(spark, sf_dir)
+    return pairs
+
+
+# --- §2.8: comparison vectors + scoring --------------------------------------
+
+@q("comparison_vectors",
+   f"WITH {CV_CTE} SELECT match_key, unique_id_l, unique_id_r, "
+   "gamma_content_sha, gamma_path FROM cv")
+def q_comparison_vectors(spark, sf_dir):
+    pairs, nodes, s = _spark_pairs(spark, sf_dir)
+    return compute_comparison_vectors(pairs, nodes, s).select(
+        "match_key", "unique_id_l", "unique_id_r",
+        "gamma_content_sha", "gamma_path")
+
+
+@q("predict", f"WITH {PREDICT_CTE} SELECT * FROM predictions")
+def q_predict(spark, sf_dir):
+    return _spark_predict(spark, sf_dir)
+
+
+# --- fork TF-adjusted scoring (comparison_level.py:682-718) ------------------
+
+@q("predict_tf",
+   f"""WITH {RF_CTE},
+tf AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS tf_source FROM nodes GROUP BY source),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_records FROM nodes),
+p2 AS (
+  SELECT l.unique_id AS unique_id_l, r.unique_id AS unique_id_r,
+    CASE WHEN l.content_sha = r.content_sha THEN 1 ELSE 0 END AS gamma_content_sha,
+    CASE WHEN l.source = r.source THEN 1 ELSE 0 END AS gamma_source,
+    tl.tf_source AS tf_source_l
+  FROM nodes l JOIN nodes r ON l.repo = r.repo AND l.unique_id < r.unique_id
+  LEFT JOIN tf tl ON tl.source = l.source
+),
+sc AS (
+  SELECT unique_id_l, unique_id_r, gamma_content_sha, gamma_source,
+    CAST({PRIOR / (1 - PRIOR)!r} AS DOUBLE)
+    * {_bf_case("content_sha")}
+    * (CASE WHEN gamma_source = 1 THEN 0.5/0.1 ELSE 0.5/0.9 END)
+    * (CASE WHEN gamma_source = 1 AND tf_source_l IS NOT NULL
+            THEN (SELECT n_records FROM n) / tf_source_l ELSE 1.0 END) AS bf
+  FROM p2
+)
+SELECT unique_id_l, unique_id_r, gamma_content_sha, gamma_source,
+  ROUND(log2(bf), 6) AS match_weight,
+  ROUND(bf / (1+bf), 6) AS match_probability
+FROM sc""")
+def q_predict_tf(spark, sf_dir):
+    mu = lambda c, g: dict(m=M_U[c][g][0], u=M_U[c][g][1])
+    s = Settings(
+        comparisons=(
+            Comparison("content_sha", "content_sha", (
+                ComparisonLevel("exact", **mu("content_sha", 1)),
+                ComparisonLevel("else", **mu("content_sha", 0)),
+            )),
+            Comparison("source", "source", (
+                ComparisonLevel("exact", m=0.5, u=0.1, tf_adjustment=True),
+                ComparisonLevel("else", m=0.5, u=0.9),
+            )),
+        ),
+        blocking_rules=(block_on("repo"),),
+        probability_two_random_records_match=PRIOR,
+        tf_columns=("source",),
+    )
+    from .operators.nodes import join_tf_columns
+    nodes, _ = join_tf_columns(nodes_df(spark, sf_dir), s)
+    n_records = nodes.count()
+    pairs = block_using_rules(nodes, s)
+    cv = compute_comparison_vectors(pairs, nodes, s)
+    pred = predict_op(cv, s, n_records=float(n_records))
+    return pred.select(
+        "unique_id_l", "unique_id_r", "gamma_content_sha", "gamma_source",
+        F.round("match_weight", 6).alias("match_weight"),
+        F.round("match_probability", 6).alias("match_probability"),
+    )
+
+
+# --- §2.9: EM substrate — agreement patterns + u sampling --------------------
+
+@q("em_agreement_patterns",
+   f"WITH {CV_CTE} SELECT gamma_content_sha, gamma_path, "
+   "COUNT(*) AS agreement_pattern_count FROM cv "
+   "GROUP BY gamma_content_sha, gamma_path")
+def q_em_patterns(spark, sf_dir):
+    pairs, nodes, s = _spark_pairs(spark, sf_dir)
+    cv = compute_comparison_vectors(pairs, nodes, s)
+    return cv.groupBy("gamma_content_sha", "gamma_path").agg(
+        F.count(F.lit(1)).alias("agreement_pattern_count"))
+
+
+@q("u_sample_gamma_counts",
+   f"""WITH {RF_CTE},
+samp AS (SELECT * FROM nodes WHERE doc_id % 10 = 0),
+sp AS (
+  SELECT l.path AS path_l, r.path AS path_r,
+         l.content_sha AS csha_l, r.content_sha AS csha_r
+  FROM samp l JOIN samp r ON l.unique_id < r.unique_id
+)
+SELECT
+  CASE WHEN csha_l = csha_r THEN 1 ELSE 0 END AS gamma_content_sha,
+  CASE WHEN path_l = path_r THEN 3
+       WHEN jaro_winkler_similarity(path_l, path_r) >= 0.9401 THEN 2
+       WHEN levenshtein(path_l, path_r) <= 4 THEN 1 ELSE 0 END AS gamma_path,
+  COUNT(*) AS cnt
+FROM sp GROUP BY 1, 2""")
+def q_u_sample(spark, sf_dir):
+    """Deterministic-sample u-estimation counts (estimate_u.py semantics
+    with a hash-mod sample instead of rand so both engines agree)."""
+    from .operators.blocking import cartesian_pairs
+    s = entry_settings()
+    samp = nodes_df(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    pairs = cartesian_pairs(samp, s)
+    cv = compute_comparison_vectors(pairs, samp, s)
+    return cv.groupBy("gamma_content_sha", "gamma_path").agg(
+        F.count(F.lit(1)).alias("cnt"))
+
+
+# --- §2.4/2.12: blocking analysis (skew audit) -------------------------------
+
+@q("largest_blocks",
+   f"""WITH {RF_CTE}
+SELECT repo AS key_0, COUNT(*) AS key_count,
+       CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS comparison_count
+FROM nodes WHERE repo IS NOT NULL GROUP BY repo
+ORDER BY comparison_count DESC, key_0 LIMIT 10""")
+def q_largest_blocks(spark, sf_dir):
+    from .operators.blocking import n_largest_blocks
+    return n_largest_blocks(nodes_df(spark, sf_dir), block_on("repo"), n=10)
+
+
+@q("cumulative_comparisons",
+   f"""WITH {PAIRS_CTE},
+per AS (SELECT match_key, COUNT(*) AS row_count FROM pairs GROUP BY match_key)
+SELECT match_key, row_count,
+  SUM(row_count) OVER (ORDER BY match_key
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_rows
+FROM per""")
+def q_cumulative_comparisons(spark, sf_dir):
+    pairs, _, _ = _spark_pairs(spark, sf_dir)
+    per = pairs.groupBy("match_key").agg(F.count(F.lit(1)).alias("row_count"))
+    w = Window.orderBy("match_key").rowsBetween(Window.unboundedPreceding,
+                                                Window.currentRow)
+    return per.select("match_key", "row_count",
+                      F.sum("row_count").over(w).alias("cumulative_rows"))
+
+
+# --- §2.10: clustering (iterative CC — not single-query SQL; rows-only) ------
+
+@q("cluster_membership")  # no oracle: iterative fixpoint, not ANSI-SQL
+def q_cluster_membership(spark, sf_dir):
+    pred = _spark_predict(spark, sf_dir)
+    nodes = nodes_df(spark, sf_dir)
+    edges = pred.where(F.col("match_probability") >= 0.9) \
+        .select("unique_id_l", "unique_id_r")
+    return solve_connected_components(nodes, edges)
+
+
+@q("cluster_sizes")  # no oracle (depends on CC)
+def q_cluster_sizes(spark, sf_dir):
+    from .operators.cluster import cluster_sizes
+    return cluster_sizes(q_cluster_membership(spark, sf_dir))
+
+
+# --- §2.11: truth space ------------------------------------------------------
+
+@q("truth_space",
+   f"""WITH {PREDICT_CTE},
+lp AS (
+  SELECT match_weight,
+         CASE WHEN gamma_content_sha = 1 THEN 1 ELSE 0 END AS is_pos
+  FROM predictions
+),
+per_t AS (
+  SELECT match_weight, SUM(is_pos) AS pos_at_t,
+         SUM(1 - is_pos) AS neg_at_t
+  FROM lp GROUP BY match_weight
+),
+tot AS (SELECT CAST(SUM(is_pos) AS DOUBLE) AS p,
+               CAST(SUM(1 - is_pos) AS DOUBLE) AS n FROM lp)
+SELECT match_weight AS truth_threshold,
+  CAST(SUM(pos_at_t) OVER w AS DOUBLE) AS tp,
+  CAST(SUM(neg_at_t) OVER w AS DOUBLE) AS fp,
+  (SELECT p FROM tot) - CAST(SUM(pos_at_t) OVER w AS DOUBLE) AS fn,
+  (SELECT n FROM tot) - CAST(SUM(neg_at_t) OVER w AS DOUBLE) AS tn,
+  ROUND(CAST(SUM(pos_at_t) OVER w AS DOUBLE)
+    / GREATEST(CAST(SUM(pos_at_t) OVER w + SUM(neg_at_t) OVER w AS DOUBLE), 1.0), 6)
+    AS precision,
+  ROUND(CAST(SUM(pos_at_t) OVER w AS DOUBLE)
+    / GREATEST((SELECT p FROM tot), 1.0), 6) AS recall
+FROM per_t
+WINDOW w AS (ORDER BY match_weight DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")
+def q_truth_space(spark, sf_dir):
+    pred = _spark_predict(spark, sf_dir)
+    lp = pred.select(
+        "match_weight",
+        (F.col("gamma_content_sha") == 1).cast("int").alias("is_pos"))
+    per_t = lp.groupBy("match_weight").agg(
+        F.sum("is_pos").alias("pos_at_t"),
+        F.sum(1 - F.col("is_pos")).alias("neg_at_t"))
+    tot = lp.agg(F.sum("is_pos").alias("p"),
+                 F.sum(1 - F.col("is_pos")).alias("n")).collect()[0]
+    total_p, total_n = float(tot["p"] or 0), float(tot["n"] or 0)
+    w = Window.orderBy(F.desc("match_weight")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    out = per_t.select(
+        F.col("match_weight").alias("truth_threshold"),
+        F.sum("pos_at_t").over(w).cast("double").alias("tp"),
+        F.sum("neg_at_t").over(w).cast("double").alias("fp"))
+    return out.select(
+        "truth_threshold", "tp", "fp",
+        (F.lit(total_p) - F.col("tp")).alias("fn"),
+        (F.lit(total_n) - F.col("fp")).alias("tn"),
+        F.round(F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1.0)), 6)
+        .alias("precision"),
+        F.round(F.col("tp") / F.lit(max(total_p, 1.0)), 6).alias("recall"))
+
+
+# --- graph metrics / one-to-one ----------------------------------------------
+
+@q("node_degrees",
+   f"""WITH {PREDICT_CTE},
+edges AS (SELECT unique_id_l, unique_id_r FROM predictions
+          WHERE match_probability >= 0.9)
+SELECT node_id, COUNT(*) AS degree FROM (
+  SELECT unique_id_l AS node_id FROM edges
+  UNION ALL SELECT unique_id_r FROM edges
+) GROUP BY node_id""")
+def q_node_degrees(spark, sf_dir):
+    pred = _spark_predict(spark, sf_dir)
+    edges = pred.where(F.col("match_probability") >= 0.9)
+    return edges.select(F.col("unique_id_l").alias("node_id")).unionAll(
+        edges.select(F.col("unique_id_r").alias("node_id"))
+    ).groupBy("node_id").agg(F.count(F.lit(1)).alias("degree"))
+
+
+@q("one_to_one_best_links",
+   f"""WITH {PREDICT_CTE}
+SELECT unique_id_l, unique_id_r, match_weight FROM predictions
+QUALIFY ROW_NUMBER() OVER (PARTITION BY unique_id_l
+    ORDER BY match_weight DESC, unique_id_r) = 1""")
+def q_one_to_one(spark, sf_dir):
+    pred = _spark_predict(spark, sf_dir)
+    w = Window.partitionBy("unique_id_l").orderBy(
+        F.desc("match_weight"), F.asc("unique_id_r"))
+    return pred.select("unique_id_l", "unique_id_r", "match_weight",
+                       F.row_number().over(w).alias("rn")) \
+        .where(F.col("rn") == 1).drop("rn")
+
+
+# --- training-data ops: dedup -----------------------------------------------
+
+@q("exact_dedup",
+   """WITH h AS (
+  SELECT doc_id, sha256(text) AS dup_group_id FROM documents)
+SELECT doc_id, dup_group_id,
+  COUNT(*) OVER (PARTITION BY dup_group_id) AS group_size,
+  MIN(doc_id) OVER (PARTITION BY dup_group_id) = doc_id AS is_canonical
+FROM h""")
+def q_exact_dedup(spark, sf_dir):
+    from .operators.dedup import exact_dedup
+    return exact_dedup(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_NGJ_DUCK = """
+list_distinct([substring({col}, i, 3)
+               for i in range(1, greatest(length({col}) - 2, 1) + 1)])
+"""
+
+
+@q("ngram_jaccard_pairs",
+   f"""WITH {RF_CTE},
+cand AS (
+  SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+         l.path AS path_l, r.path AS path_r
+  FROM nodes l JOIN nodes r ON l.repo = r.repo AND l.doc_id < r.doc_id
+),
+j AS (
+  SELECT id_l, id_r,
+    ROUND(CAST(len(list_intersect({_NGJ_DUCK.format(col="path_l")},
+                                  {_NGJ_DUCK.format(col="path_r")})) AS DOUBLE)
+      / GREATEST(len(list_distinct({_NGJ_DUCK.format(col="path_l")}
+                 || {_NGJ_DUCK.format(col="path_r")})), 1), 6) AS jaccard
+  FROM cand
+)
+SELECT id_l, id_r, jaccard FROM j WHERE jaccard >= 0.6""")
+def q_ngram_jaccard(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard
+    nodes = nodes_df(spark, sf_dir)
+    l = nodes.select(F.col("doc_id").alias("id_l"), F.col("repo"),
+                     F.col("path").alias("path_l"))
+    r = nodes.select(F.col("doc_id").alias("id_r"), F.col("repo"),
+                     F.col("path").alias("path_r"))
+    cand = l.join(r, on="repo").where(F.col("id_l") < F.col("id_r"))
+    out = cand.select(
+        "id_l", "id_r",
+        F.round(ngram_jaccard(F.lower(F.col("path_l")),
+                              F.lower(F.col("path_r")), 3), 6).alias("jaccard"))
+    return out.where(F.col("jaccard") >= 0.6)
+
+
+# --- minhash LSH with the cross-engine poly31 hash ---------------------------
+
+_MH_NUM, _MH_BANDS, _MH_K = 16, 4, 4
+_rng = random.Random(42)
+_MH_COEFFS = [(_rng.randrange(1, P31), _rng.randrange(0, P31))
+              for _ in range(_MH_NUM)]
+
+
+def _poly31_str_col(col: Column) -> Column:
+    chars = F.filter(F.split(col, ""), lambda c: c != F.lit(""))
+    return F.aggregate(
+        chars, F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + F.ascii(c)) % F.lit(P31))
+
+
+def _mh_signature_col(col: Column) -> Column:
+    lowered = F.lower(col)
+    n = F.greatest(F.length(lowered) - F.lit(_MH_K - 1), F.lit(1))
+    sh = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), n), lambda i: lowered.substr(i, F.lit(_MH_K))))
+    hashes = F.transform(sh, _poly31_str_col)
+    return F.array(*[
+        F.array_min(F.transform(
+            hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(P31)))
+        for a, b in _MH_COEFFS
+    ])
+
+
+def _duck_mh_sql() -> str:
+    rows = _MH_NUM // _MH_BANDS
+    sh = ("list_distinct([substring(lower(text), i, %d) for i in "
+          "range(1, greatest(length(text) - %d, 1) + 1)])"
+          % (_MH_K, _MH_K - 1))
+    h = ("list_transform(%s, s -> list_reduce("
+         "[CAST(0 AS BIGINT)] || list_transform(string_split(s, ''), "
+         "c -> CAST(ascii(c) AS BIGINT)), "
+         "(acc, x) -> (acc * 31 + x) %% %d))" % (sh, P31))
+    sig_elems = ", ".join(
+        f"list_aggregate(list_transform(h, x -> ({a} * x + {b}) % {P31}), 'min')"
+        for a, b in _MH_COEFFS)
+    band_rows = " UNION ALL ".join(
+        f"""SELECT doc_id, {b} AS band_id,
+           list_reduce([CAST(0 AS BIGINT)] || list_slice(sig, {b * rows + 1},
+                       {b * rows + rows}), (acc, x) -> (acc * 31 + x) % {P31})
+           AS band_hash FROM sigs"""
+        for b in range(_MH_BANDS))
+    return f"""WITH hs AS (SELECT doc_id, {h} AS h FROM documents),
+sigs AS (SELECT doc_id, [{sig_elems}] AS sig FROM hs),
+banded AS ({band_rows})
+SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+       COUNT(*) AS n_common_bands
+FROM banded l JOIN banded r
+  ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+ AND l.doc_id < r.doc_id
+GROUP BY 1, 2"""
+
+
+@q("minhash_lsh_pairs", _duck_mh_sql())
+def q_minhash_lsh(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    rows = _MH_NUM // _MH_BANDS
+    sig = docs.select("doc_id", _mh_signature_col(F.col("text")).alias("sig"))
+    band_hash = F.array(*[
+        F.aggregate(F.slice(F.col("sig"), b * rows + 1, rows),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: (acc * F.lit(31) + x) % F.lit(P31))
+        for b in range(_MH_BANDS)
+    ])
+    banded = sig.select(
+        "doc_id", F.posexplode(band_hash).alias("band_id", "band_hash"))
+    l, r = banded.alias("l"), banded.alias("r")
+    return (l.join(r, (F.col("l.band_id") == F.col("r.band_id"))
+                   & (F.col("l.band_hash") == F.col("r.band_hash"))
+                   & (F.col("l.doc_id") < F.col("r.doc_id")))
+            .groupBy(F.col("l.doc_id").alias("id_l"),
+                     F.col("r.doc_id").alias("id_r"))
+            .agg(F.count(F.lit(1)).alias("n_common_bands")))
+
+
+# --- simhash (poly31, 32-bit) ------------------------------------------------
+
+def _duck_simhash_sql() -> str:
+    toks = ("list_distinct(list_filter(regexp_split_to_array("
+            "trim(lower(text)), '\\s+'), t -> t <> ''))")
+    h = (f"list_transform({toks}, t -> list_reduce("
+         "[CAST(0 AS BIGINT)] || list_transform(string_split(t, ''), "
+         f"c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc * 31 + x) % {P31}))")
+    bits = " + ".join(
+        f"(CASE WHEN 2 * list_aggregate(list_transform(h, "
+        f"x -> (x >> {b}) & 1), 'sum') > len(h) "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(32))
+    return (f"WITH hs AS (SELECT doc_id, {h} AS h FROM documents) "
+            f"SELECT doc_id, CASE WHEN len(h) = 0 THEN 0 ELSE {bits} END "
+            "AS simhash FROM hs")
+
+
+@q("simhash32", _duck_simhash_sql())
+def q_simhash(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda t: t != F.lit("")))
+    hashes = F.transform(toks, _poly31_str_col)
+    n = F.size(hashes)
+    bit_terms = [
+        F.when(
+            F.lit(2) * F.aggregate(
+                hashes, F.lit(0).cast("long"),
+                lambda acc, x: acc + F.shiftright(x, b).bitwiseAND(F.lit(1)))
+            > n.cast("long"),
+            F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(32)
+    ]
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return docs.select(
+        "doc_id",
+        F.when(n == 0, F.lit(0).cast("long")).otherwise(total).alias("simhash"))
+
+
+# --- ANN: brute-force cosine top-k -------------------------------------------
+
+@q("ann_topk",
+   """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+s AS (
+  SELECT query_id, vec_id,
+         ROUND(list_cosine_similarity(qv, cv), 6) AS cosine
+  FROM q, c WHERE query_id <> vec_id
+)
+SELECT query_id, vec_id, cosine,
+  ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, vec_id) AS rank
+FROM s QUALIFY rank <= 5""")
+def q_ann_topk(spark, sf_dir):
+    from .operators.ann import cosine_expr
+    emb = load(spark, sf_dir, "embeddings")
+    qd = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"))
+    cd = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
+    scored = cd.crossJoin(F.broadcast(qd)) \
+        .where(F.col("query_id") != F.col("vec_id")) \
+        .select("query_id", "vec_id",
+                F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.select("*", F.row_number().over(w).alias("rank")) \
+        .where(F.col("rank") <= 5)
+
+
+# --- text analysis -----------------------------------------------------------
+
+@q("text_quality",
+   r"""WITH t AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                x -> x <> '') AS toks,
+    length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  ROUND(CASE WHEN n_chars > 0 THEN
+    CAST(n_chars - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+      / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+  ROUND(CASE WHEN len(toks) > 0 THEN
+    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+    ELSE 0.0 END, 6) AS distinct_token_ratio,
+  ROUND(CASE WHEN len(toks) > 0 THEN
+    CAST(list_reduce([0] || list_transform(toks, x -> length(x)),
+                     (a, b) -> a + b) AS DOUBLE) / len(toks)
+    ELSE 0.0 END, 6) AS mean_word_len
+FROM t""")
+def q_text_quality(spark, sf_dir):
+    from .functions.text import quality_features
+    docs = load(spark, sf_dir, "documents")
+    f = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id", f["n_chars"].alias("n_chars"),
+        f["n_tokens"].alias("n_tokens"),
+        F.round(f["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(f["distinct_token_ratio"], 6).alias("distinct_token_ratio"),
+        F.round(f["mean_word_len"], 6).alias("mean_word_len"))
+
+
+@q("token_counts",
+   r"""SELECT doc_id,
+  CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '')) AS BIGINT) AS n_tokens
+FROM documents""")
+def q_token_counts(spark, sf_dir):
+    from .functions.text import token_count
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+# --- profiling ---------------------------------------------------------------
+
+@q("profile_percentiles",
+   """SELECT lang,
+  COUNT(*) AS n,
+  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 6) AS p50,
+  ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars), 6) AS p90
+FROM documents GROUP BY lang""")
+def q_profile_percentiles(spark, sf_dir):
+    return load(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90"))
+
+
+# ----------------------------------------------------------------- flagship
+
+def flagship(spark: SparkSession,
+             sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """End-to-end dedupe on the derived repo-file table: blocking ->
+    comparison vectors -> Fellegi-Sunter predict -> connected components.
+    Returns per-node cluster membership with cluster sizes."""
+    pred = _spark_predict(spark, sf_dir)
+    nodes = nodes_df(spark, sf_dir)
+    edges = pred.where(F.col("match_probability") >= 0.9) \
+        .select("unique_id_l", "unique_id_r")
+    member = solve_connected_components(nodes, edges)
+    sizes = member.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return member.join(sizes, on="cluster_id") \
+        .select("node_id", "cluster_id", "cluster_size")
