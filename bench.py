@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Benchmark: candidate-pairs-scored/sec on the repo-file dedupe pipeline.
+
+Default mode (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+--scaling mode (north-rule evidence): runs the identical scoring job at
+local[8] and local[32] on the same input and reports throughput at both plus
+scaling efficiency = (pairs/sec@32) / (4 * pairs/sec@8).
+
+The bench input is the documents table exploded into K deterministic
+perturbed variants per doc (path edits, sub-repo spread), giving a realistic
+blocking distribution (~hundreds of rows per key) and ~1-2M candidate pairs
+scored through the vectorized Jaro-Winkler/levenshtein comparison stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from memory_optimized_splink_spark import entry_queries as EQ
+from memory_optimized_splink_spark.operators.blocking import block_using_rules
+from memory_optimized_splink_spark.operators.cluster import (
+    solve_connected_components,
+)
+from memory_optimized_splink_spark.operators.score import predict as predict_op
+from memory_optimized_splink_spark.operators.vectors import (
+    compute_comparison_vectors,
+)
+from memory_optimized_splink_spark.session import get_spark
+
+
+def build_bench_nodes(spark: SparkSession, sf_dir: str,
+                      variants: int = 40) -> DataFrame:
+    """documents x `variants` deterministic perturbed copies, shaped like the
+    BASELINE.json input (repo/path/commit/lang/content)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = F.col("variant")
+    d = docs.select(
+        "doc_id", "lang", "source", "text",
+        F.explode(F.sequence(F.lit(0), F.lit(variants - 1))).alias("variant"),
+    )
+    stem = F.concat(F.lit("doc"), (F.col("doc_id") % 997).cast("string"))
+    # variant 0 keeps the base path; others get small edits so the
+    # Jaro-Winkler / levenshtein levels fire at realistic rates
+    perturbed = F.when(v % 4 == 0, stem) \
+        .when(v % 4 == 1, F.concat(stem, F.lit("_old"))) \
+        .when(v % 4 == 2, F.upper(stem)) \
+        .otherwise(F.concat(stem, v.cast("string")))
+    rf = d.select(
+        F.concat(F.lit("org"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit("/repo"), (F.col("doc_id") % 101).cast("string"),
+                 F.lit("_"), (v % 16).cast("string")).alias("repo"),
+        F.concat(F.lit("src/"), F.col("source"), F.lit("/"), perturbed,
+                 F.lit("."), F.col("lang")).alias("path"),
+        F.sha2(F.concat(F.lit("c"), F.col("doc_id").cast("string"),
+                        F.lit("-"), v.cast("string")), 256).substr(1, 40)
+        .alias("commit"),
+        "lang",
+        # half the variants share the base content (true duplicates)
+        F.when(v % 2 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" v"), v.cast("string")))
+        .alias("content"),
+    )
+    from memory_optimized_splink_spark.operators.nodes import derive_repo_file_ids
+    return derive_repo_file_ids(rf)
+
+
+def _warmup(spark: SparkSession) -> None:
+    """First pandas-UDF call forks + imports in every Python worker (~15s on
+    32 cores); run it on a tiny frame so timings measure steady state."""
+    from memory_optimized_splink_spark.functions.similarity import (
+        jaro_winkler_udf,
+    )
+    spark.range(2000).select(
+        F.sum(jaro_winkler_udf(F.lit("warm"), F.lit("worm")))).collect()
+
+
+def run_pipeline(spark: SparkSession, sf_dir: str, variants: int = 40) -> dict:
+    s = EQ.entry_settings()
+    out: dict = {}
+    _warmup(spark)
+
+    t0 = time.time()
+    nodes = build_bench_nodes(spark, sf_dir, variants)
+    nodes = nodes.localCheckpoint(eager=True)  # isolate input build time
+    out["n_rows"] = nodes.count()
+    out["t_build"] = time.time() - t0
+
+    t0 = time.time()
+    pairs = block_using_rules(nodes, s).localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    out["n_pairs"] = n_pairs
+    out["t_block"] = time.time() - t0
+
+    t0 = time.time()
+    cv = compute_comparison_vectors(pairs, nodes, s)
+    pred = predict_op(cv, s).localCheckpoint(eager=True)
+    out["n_scored"] = pred.count()
+    out["t_score"] = time.time() - t0
+    out["pairs_scored_per_sec"] = n_pairs / out["t_score"]
+
+    t0 = time.time()
+    edges = pred.where(F.col("match_probability") >= 0.9) \
+        .select("unique_id_l", "unique_id_r")
+    member = solve_connected_components(nodes, edges)
+    out["n_clusters"] = member.select("cluster_id").distinct().count()
+    out["t_cluster"] = time.time() - t0
+    return out
+
+
+def run_extra_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    from memory_optimized_splink_spark.operators.dedup import minhash_lsh_pairs
+
+    extras = {}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    minhash_lsh_pairs(docs, "doc_id", "text").count()  # production xxhash64 path
+    extras["minhash_lsh"] = round(time.time() - t0, 3)
+    for name in ["ann_topk", "exact_dedup", "text_quality", "largest_blocks"]:
+        t0 = time.time()
+        EQ.QUERIES[name](spark, sf_dir).count()
+        extras[name] = round(time.time() - t0, 3)
+    return extras
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--variants", type=int, default=40)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    if args.scaling:
+        results = {}
+        for n in (8, 32):
+            spark = get_spark(app_name=f"bench-local{n}",
+                              master=f"local[{n}]",
+                              shuffle_partitions=max(n * 2, 16))
+            r = run_pipeline(spark, sf_dir, args.variants)
+            spark.stop()
+            results[f"local[{n}]"] = r
+        tput8 = results["local[8]"]["pairs_scored_per_sec"]
+        tput32 = results["local[32]"]["pairs_scored_per_sec"]
+        print(json.dumps({
+            "metric": "scaling_efficiency_local8_to_local32",
+            "value": round(tput32 / (4 * tput8), 4),
+            "unit": "ratio",
+            "pairs_scored_per_sec": {"local[8]": round(tput8, 1),
+                                     "local[32]": round(tput32, 1)},
+            "detail": results,
+            "sf": sf,
+        }))
+        return
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 16))
+    r = run_pipeline(spark, sf_dir, args.variants)
+    extras = run_extra_queries(spark, sf_dir)
+    queries = {
+        "blocking": round(r["t_block"], 3),
+        "score_predict": round(r["t_score"], 3),
+        "cluster_cc": round(r["t_cluster"], 3),
+        **extras,
+    }
+    print(json.dumps({
+        "metric": "candidate_pairs_scored_per_sec",
+        "value": round(r["pairs_scored_per_sec"], 1),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_rows": r["n_rows"],
+        "n_pairs": r["n_pairs"],
+        "n_clusters": r["n_clusters"],
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

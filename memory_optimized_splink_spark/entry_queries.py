@@ -580,7 +580,23 @@ GROUP BY 1, 2"""
 def q_minhash_lsh(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     rows = _MH_NUM // _MH_BANDS
-    sig = docs.select("doc_id", _mh_signature_col(F.col("text")).alias("sig"))
+    # explode shingles to rows so the poly31 fold runs over <=4 chars per
+    # row (higher-order lambdas are interpreted; keep them tiny)
+    lowered = F.lower(F.col("text"))
+    n = F.greatest(F.length(lowered) - F.lit(_MH_K - 1), F.lit(1))
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: lowered.substr(i, F.lit(_MH_K))))).alias("_s"),
+    ).withColumn("_h", _poly31_str_col(F.col("_s")))
+    aggs = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(P31)).alias(f"_m{i}")
+        for i, (a, b) in enumerate(_MH_COEFFS)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs).select(
+        "doc_id",
+        F.array(*[F.col(f"_m{i}") for i in range(_MH_NUM)]).alias("sig"))
     band_hash = F.array(*[
         F.aggregate(F.slice(F.col("sig"), b * rows + 1, rows),
                     F.lit(0).cast("long"),
@@ -619,26 +635,29 @@ def _duck_simhash_sql() -> str:
 @q("simhash32", _duck_simhash_sql())
 def q_simhash(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.filter(
-        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
-        lambda t: t != F.lit("")))
-    hashes = F.transform(toks, _poly31_str_col)
-    n = F.size(hashes)
-    bit_terms = [
-        F.when(
-            F.lit(2) * F.aggregate(
-                hashes, F.lit(0).cast("long"),
-                lambda acc, x: acc + F.shiftright(x, b).bitwiseAND(F.lit(1)))
-            > n.cast("long"),
-            F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        for b in range(32)
-    ]
-    total = bit_terms[0]
-    for t in bit_terms[1:]:
-        total = total + t
-    return docs.select(
+    toks = docs.select(
         "doc_id",
-        F.when(n == 0, F.lit(0).cast("long")).otherwise(total).alias("simhash"))
+        F.explode_outer(F.array_distinct(F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda t: t != F.lit("")))).alias("_t"),
+    ).withColumn(
+        "_h", F.when(F.col("_t").isNotNull(), _poly31_str_col(F.col("_t"))))
+    aggs = [F.sum(F.when(F.col("_h").isNotNull(), 1).otherwise(0)).alias("_n")]
+    for b in range(32):
+        aggs.append(F.sum(
+            F.when(F.col("_h").isNotNull(),
+                   F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)))
+            .otherwise(0)).alias(f"_b{b}"))
+    per = toks.groupBy("doc_id").agg(*aggs)
+    total = F.lit(0).cast("long")
+    for b in range(32):
+        total = total + F.when(
+            F.lit(2) * F.col(f"_b{b}") > F.col("_n"),
+            F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return per.select(
+        "doc_id",
+        F.when(F.col("_n") == 0, F.lit(0).cast("long")).otherwise(total)
+        .alias("simhash"))
 
 
 # --- ANN: brute-force cosine top-k -------------------------------------------

@@ -49,33 +49,38 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(col: Column, num_hashes: int = 64, k: int = 5,
-                      seed: int = 42) -> Column:
-    """array<bigint> MinHash signature over character k-shingles.
-
-    h_i(x) = (a_i * xxhash64(x) + b_i) mod p, min over shingles — all native
-    Spark SQL (xxhash64 + aggregate), vectorized by codegen.
-    """
+def _minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     import random
 
     rng = random.Random(seed)
-    coeffs = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
-              for _ in range(num_hashes)]
-    sh = _shingles(col, k)
-    base = F.transform(sh, lambda s: F.xxhash64(s))
-    mins = [
-        F.aggregate(
-            base,
-            F.lit(_MERSENNE).cast("long"),
-            lambda acc, h: F.least(
-                acc,
-                F.pmod(F.lit(a) * F.pmod(h, F.lit(_MERSENNE)) + F.lit(b),
-                       F.lit(_MERSENNE)).cast("long"),
-            ),
-        )
-        for a, b in coeffs
+    return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+            for _ in range(num_hashes)]
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 64, k: int = 5, seed: int = 42
+                       ) -> DataFrame:
+    """(id, sig array<bigint>) MinHash signatures over character k-shingles.
+
+    Shape matters at scale: shingles are EXPLODED to rows and hashed with
+    codegen'd xxhash64, then min-aggregated per doc — higher-order array
+    lambdas (transform/aggregate) are interpreted per element in Spark and
+    are ~100x slower for wide signatures. One explode + one groupBy shuffle.
+    """
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_shingles(F.col(text_col), k)).alias("_s"),
+    ).withColumn("_h", F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE)))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_MERSENNE)))
+        .alias(f"_m{i}")
+        for i, (a, b) in enumerate(coeffs)
     ]
-    return F.array(*mins)
+    per_doc = sh.groupBy("_id").agg(*aggs)
+    return per_doc.select(
+        "_id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -95,10 +100,7 @@ def minhash_lsh_pairs(
     Output: (id_l, id_r, n_common_bands).
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_k, seed).alias("_sig"),
-    )
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed)
     banded = sig.select(
         "_id",
         F.posexplode(
@@ -163,32 +165,35 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 # ------------------------------------------------------------------ SimHash
 
-def simhash64(col: Column, seed: int = 0) -> Column:
-    """64-bit SimHash over whitespace tokens, packed into one BIGINT.
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       seed: int = 0) -> DataFrame:
+    """(id, simhash64 bigint) over whitespace tokens.
 
-    For each bit position: sum of (+1/-1) votes from each token hash; bit set
-    when the vote is positive. All in native higher-order functions.
-    """
-    toks = F.array_distinct(F.split(F.trim(F.lower(col)), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
-    bit_exprs = []
+    Same explode+groupBy shape as minhash (codegen'd xxhash64 per token row,
+    64 conditional sums in ONE aggregate pass): bit b is set when more token
+    hashes have bit b set than clear."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(F.array_distinct(F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda t: t != F.lit("")))).alias("_t"),
+    ).withColumn("_h", F.xxhash64("_t", F.lit(seed)))
+    aggs = [F.count(F.lit(1)).alias("_n")]
     for bit in range(64):
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(
-                h.bitwiseAND(F.lit(1 << bit) if bit < 63 else F.lit(-(1 << 63)))
-                != 0, F.lit(1)).otherwise(F.lit(-1)),
+        mask = F.lit(1 << bit) if bit < 63 else F.lit(-(1 << 63))
+        aggs.append(
+            F.sum(F.when(F.col("_h").isNotNull()
+                         & (F.col("_h").bitwiseAND(mask) != 0), 1)
+                  .otherwise(0)).alias(f"_b{bit}")
         )
-        bit_exprs.append(
-            F.when(votes > 0,
-                   F.lit(1 << bit) if bit < 63 else F.lit(-(1 << 63))
-                   ).otherwise(F.lit(0)).cast("long")
-        )
-    out = bit_exprs[0]
-    for b in bit_exprs[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    per_doc = toks.groupBy("_id").agg(*aggs)
+    out = F.lit(0).cast("long")
+    for bit in range(64):
+        mask = F.lit(1 << bit) if bit < 63 else F.lit(-(1 << 63))
+        out = out.bitwiseOR(
+            F.when(F.col(f"_b{bit}") * 2 > F.col("_n"), mask.cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    return per_doc.select("_id", out.alias("_sh"))
 
 
 def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -196,8 +201,7 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     """Near-dup candidates: band the 64-bit simhash into 4 x 16-bit keys;
     any pair within Hamming distance 3 shares at least one exact band
     (pigeonhole). Verify with bit_count(xor) <= max_hamming."""
-    sim = df.select(F.col(id_col).alias("_id"),
-                    simhash64(F.col(text_col)).alias("_sh"))
+    sim = simhash_signatures(df, id_col, text_col)
     banded = sim.select(
         "_id", "_sh",
         F.posexplode(F.array(*[

@@ -1,0 +1,62 @@
+"""Incremental linking via Structured Streaming (engine extension).
+
+The reference has no streaming surface; its closest analogue is
+find_matches_to_new_records (inference.py:770-926) — a batch API this
+engine exposes on SparkLinker. This module lifts that API onto a stream:
+micro-batches of new records are linked against the existing node table via
+foreachBatch, appending scored matches to a sink. Stateless per batch (the
+node table is the state), so no watermark is required; an optional
+event-time dedup window is provided for at-least-once sources.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def incremental_link_stream(
+    linker,
+    new_records_stream: DataFrame,
+    sink: Callable[[DataFrame, int], None] | str,
+    threshold_match_probability: float = 0.5,
+    checkpoint_location: str | None = None,
+    trigger_once: bool = False,
+):
+    """Wire a streaming DataFrame of new records into the linker.
+
+    sink: either a callable (matches_df, batch_id) -> None, or an output
+    path (parquet append). Returns the StreamingQuery.
+    """
+    if isinstance(sink, str):
+        out_path = sink
+
+        def sink_fn(df: DataFrame, batch_id: int) -> None:
+            df.withColumn("_batch_id", F.lit(batch_id)) \
+              .write.mode("append").parquet(out_path)
+    else:
+        sink_fn = sink
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        matches = linker.find_matches_to_new_records(
+            batch_df, threshold_match_probability=threshold_match_probability
+        )
+        sink_fn(matches, batch_id)
+
+    writer = new_records_stream.writeStream.foreachBatch(process)
+    if checkpoint_location:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_dedup(events: DataFrame, ts_col: str, key_cols: list[str],
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked exact-dedup for at-least-once streaming sources:
+    dropDuplicates within the watermark horizon (stateful operator)."""
+    return events.withWatermark(ts_col, watermark) \
+        .dropDuplicatesWithinWatermark(key_cols)

@@ -1,0 +1,75 @@
+"""Sources registry, streaming incremental linking, CLI stage wiring."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_register_any(spark, tmp_path):
+    from memory_optimized_splink_spark.sources.registry import (
+        read_any, register_multiple_tables, write_output,
+    )
+
+    pdf = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    lod = [{"a": 3, "b": "z"}]
+    sdf = spark.createDataFrame(pdf)
+    regs = register_multiple_tables(spark, [pdf, lod, sdf],
+                                    ["t_pdf", "t_lod", "t_sdf"])
+    assert spark.table("t_pdf").count() == 2
+    assert spark.table("t_lod").count() == 1
+    p = str(tmp_path / "out.parquet")
+    write_output(regs["t_pdf"], p)
+    assert read_any(spark, p).count() == 2
+    c = str(tmp_path / "out.csv")
+    write_output(regs["t_pdf"], c, fmt="csv")
+    assert read_any(spark, c).count() == 2
+
+
+def test_incremental_link_stream(spark, repo_nodes, basic_settings, tmp_path):
+    from memory_optimized_splink_spark.linker import SparkLinker
+    from memory_optimized_splink_spark.streaming.incremental import (
+        incremental_link_stream,
+    )
+
+    linker = SparkLinker(spark, repo_nodes, basic_settings)
+    src_dir = str(tmp_path / "stream_src")
+    new = repo_nodes.limit(2).withColumn(
+        "unique_id", F.concat(F.col("unique_id"), F.lit("_s")))
+    new.write.parquet(src_dir)
+    stream = spark.readStream.schema(new.schema).parquet(src_dir)
+    got = []
+    q = incremental_link_stream(
+        linker, stream, lambda df, bid: got.append(df.count()),
+        threshold_match_probability=0.5,
+        checkpoint_location=str(tmp_path / "stream_ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    assert sum(got) >= 2  # each copied row matches its original
+
+
+def test_cli_predict_and_cluster(spark, repo_nodes, basic_settings, tmp_path):
+    from memory_optimized_splink_spark.cli import main
+
+    inp = str(tmp_path / "input.parquet")
+    repo_nodes.write.parquet(inp)
+    settings_path = str(tmp_path / "model.json")
+    with open(settings_path, "w") as f:
+        f.write(basic_settings.to_json())
+    out = str(tmp_path / "pred.parquet")
+    main(["predict", "--input", inp, "--settings", settings_path,
+          "--checkpoint-dir", str(tmp_path / "ck"), "--output", out])
+    pred = spark.read.parquet(out)
+    assert pred.count() > 0 and "match_weight" in pred.columns
+    out2 = str(tmp_path / "clusters.parquet")
+    main(["cluster", "--input", inp, "--settings", settings_path,
+          "--checkpoint-dir", str(tmp_path / "ck"), "--output", out2,
+          "--threshold", "0.9"])
+    clusters = spark.read.parquet(out2)
+    assert "cluster_id" in clusters.columns
+    assert clusters.count() == repo_nodes.count()
