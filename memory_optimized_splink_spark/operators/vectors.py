@@ -97,9 +97,22 @@ def pairs_with_columns(pairs: DataFrame, nodes: DataFrame,
     return out
 
 
-def with_comparison_metrics(df: DataFrame, settings: Settings) -> DataFrame:
-    """Stage 2: one column per (comparison, metric-kind), computed once."""
+_PYTHON_METRIC_KINDS = {"jaro_winkler", "jaro", "damerau_levenshtein", "cosine"}
+
+
+def with_comparison_metrics(df: DataFrame, settings: Settings,
+                            python_parallelism: int | None = None) -> DataFrame:
+    """Stage 2: one column per (comparison, metric-kind), computed once.
+
+    When a pandas-UDF metric is present and `python_parallelism` is set, the
+    (narrow) pair table is repartitioned first: the Arrow/Python stage is
+    CPU-bound, but upstream partitioning is IO-sized — a broadcast-join
+    pipeline can arrive here 1-2 partitions wide and starve every core
+    (observed 6x at bench scale). One extra shuffle of ids+strings is cheap
+    against O(L^2) string kernels.
+    """
     exprs: dict[str, Column] = {}
+    needs_python = False
     for comp in settings.comparisons:
         for lv in comp.levels:
             if lv.kind in _METRIC_KINDS:
@@ -109,8 +122,11 @@ def with_comparison_metrics(df: DataFrame, settings: Settings) -> DataFrame:
                     exprs[name] = _metric_expr(
                         lv.kind, F.col(f"{c}_l"), F.col(f"{c}_r")
                     ).alias(name)
+                    needs_python |= lv.kind in _PYTHON_METRIC_KINDS
     if not exprs:
         return df
+    if needs_python and python_parallelism:
+        df = df.repartition(python_parallelism)
     return df.select("*", *exprs.values())
 
 
@@ -161,12 +177,16 @@ def gamma_column(comp: Comparison) -> Column:
 def compute_comparison_vectors(
     pairs: DataFrame, nodes: DataFrame, settings: Settings,
     retain_columns: bool | None = None,
+    python_parallelism: int | None = None,
 ) -> DataFrame:
     """pairs + nodes -> (uid_l, uid_r, match_key?, gamma_*, [retained])."""
     retain = settings.retain_matching_columns if retain_columns is None \
         else retain_columns
+    if python_parallelism is None:
+        python_parallelism = 2 * pairs.sparkSession.sparkContext.defaultParallelism
     df = pairs_with_columns(pairs, nodes, settings)
-    df = with_comparison_metrics(df, settings)
+    df = with_comparison_metrics(df, settings,
+                                 python_parallelism=python_parallelism)
     keep = ["unique_id_l", "unique_id_r"]
     if "match_key" in df.columns:
         keep.append("match_key")
