@@ -183,6 +183,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--variants", type=int, default=40)
+    ap.add_argument("--scale-n", type=int, default=8,
+                    help="scaling mode compares local[N] vs local[4N]")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -191,21 +193,22 @@ def main() -> None:
 
     if args.scaling:
         results = {}
-        for n in (8, 32):
+        for n in (args.scale_n, args.scale_n * 4):
             spark = get_spark(app_name=f"bench-local{n}",
                               master=f"local[{n}]",
                               shuffle_partitions=max(n * 2, 16))
             r = scoring_throughput(spark, sf_dir, max(args.variants, 100))
             spark.stop()
             results[f"local[{n}]"] = r
-        tput8 = results["local[8]"]["pairs_scored_per_sec"]
-        tput32 = results["local[32]"]["pairs_scored_per_sec"]
+        lo, hi = args.scale_n, args.scale_n * 4
+        tput_lo = results[f"local[{lo}]"]["pairs_scored_per_sec"]
+        tput_hi = results[f"local[{hi}]"]["pairs_scored_per_sec"]
         print(json.dumps({
-            "metric": "scaling_efficiency_local8_to_local32",
-            "value": round(tput32 / (4 * tput8), 4),
+            "metric": f"scaling_efficiency_local{lo}_to_local{hi}",
+            "value": round(tput_hi / (4 * tput_lo), 4),
             "unit": "ratio",
-            "pairs_scored_per_sec": {"local[8]": round(tput8, 1),
-                                     "local[32]": round(tput32, 1)},
+            "pairs_scored_per_sec": {f"local[{lo}]": round(tput_lo, 1),
+                                     f"local[{hi}]": round(tput_hi, 1)},
             "detail": results,
             "sf": sf,
         }))

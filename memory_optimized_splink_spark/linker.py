@@ -182,6 +182,26 @@ class SparkLinker:
                           n_records=self.nodes().count()
                           if self.settings.tf_columns else None)
 
+    def unlinkables(self) -> DataFrame:
+        """Self-link score distribution (linker.py:505-564 / unlinkables.py):
+        every record scored against itself; cum share per weight shows which
+        records can never clear a threshold."""
+        from .operators.cluster_extras import unlinkables_data
+
+        uid = self.settings.unique_id_column_name
+        nodes = self.nodes()
+        pairs = nodes.select(
+            F.lit("0").alias("match_key"),
+            F.col(uid).alias("unique_id_l"),
+            F.col(uid).alias("unique_id_r"),
+        )
+        cv = compute_comparison_vectors(pairs, nodes, self.settings)
+        self_pred = predict_op(
+            cv, self.settings,
+            n_records=nodes.count() if self.settings.tf_columns else None,
+        )
+        return unlinkables_data(self_pred)
+
     # ---------------------------------------------------------- evaluation
     def truth_space(self, labels: DataFrame) -> DataFrame:
         return truth_space_table(labels, self.predict())

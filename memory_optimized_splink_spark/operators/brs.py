@@ -1,0 +1,101 @@
+"""Blocking-rule auto-suggestion: cost-based search over candidate key sets.
+
+Reference (/root/reference/splink/internals/
+find_brs_with_comparison_counts_below_threshold.py:87-214,
+cost_of_blocking_rules.py:9-53, optimise_cost_of_brs.py:16-123): enumerate
+column combinations, estimate comparison counts via groupBy-count, prune
+combos over the threshold, then pick a rule SET minimizing a weighted cost
+(comparisons, rule count, per-field "freedom": each field should be allowed
+to disagree by at least one rule).
+
+The count estimation is the distributed part (one groupBy per candidate);
+the search is driver-side Python over a handful of numbers, exactly like
+the reference.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def count_comparisons_for_keys(nodes: DataFrame, keys: tuple[str, ...]) -> int:
+    """Dedupe comparison count for an equi rule: sum over key groups of
+    C(n,2) (blocking_analysis.py:89-185)."""
+    cond = F.expr(keys[0]).isNotNull()
+    for k in keys[1:]:
+        cond = cond & F.expr(k).isNotNull()
+    row = (
+        nodes.where(cond).groupBy(*[F.expr(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("c"))
+        .collect()[0]
+    )
+    return int(row["c"] or 0)
+
+
+def find_rules_below_threshold(
+    nodes: DataFrame,
+    columns: list[str],
+    max_comparisons: int,
+    max_keys: int = 2,
+) -> list[dict]:
+    """All 1..max_keys column combos whose comparison count stays under the
+    threshold, with counts. Combos whose PREFIX already fits are skipped
+    (adding keys only shrinks blocks — same pruning as the reference's
+    tree search)."""
+    results: list[dict] = []
+    fitting: set[tuple[str, ...]] = set()
+    for r in range(1, max_keys + 1):
+        for combo in combinations(sorted(columns), r):
+            if any(set(prev) < set(combo) for prev in fitting):
+                continue  # a subset already fits; superset is redundant
+            c = count_comparisons_for_keys(nodes, combo)
+            if c <= max_comparisons:
+                fitting.add(combo)
+                results.append({"keys": combo, "comparison_count": c})
+    return sorted(results, key=lambda d: (-d["comparison_count"], d["keys"]))
+
+
+def rule_set_cost(rules: list[dict], all_fields: list[str],
+                  comparison_weight: float = 1e-6,
+                  rule_weight: float = 1.0,
+                  unfree_field_weight: float = 10.0) -> float:
+    """Weighted cost of a rule set (cost_of_blocking_rules.py:9-53): total
+    comparisons + #rules + penalty per field that every rule blocks on
+    (such a field can never disagree between matched records)."""
+    total_comparisons = sum(r["comparison_count"] for r in rules)
+    unfree = sum(
+        1 for f in all_fields
+        if rules and all(f in r["keys"] for r in rules)
+    )
+    return (comparison_weight * total_comparisons
+            + rule_weight * len(rules)
+            + unfree_field_weight * unfree)
+
+
+def suggest_blocking_rules(
+    nodes: DataFrame,
+    columns: list[str],
+    max_comparisons: int,
+    max_rules: int = 3,
+    max_keys: int = 2,
+) -> list[dict]:
+    """Greedy set selection: among rules under threshold, repeatedly add the
+    rule that lowers cost the most (deterministic tie-breaks). Returns
+    [{keys, comparison_count}] ready to wrap in block_on(*keys)."""
+    candidates = find_rules_below_threshold(
+        nodes, columns, max_comparisons, max_keys)
+    chosen: list[dict] = []
+    while len(chosen) < max_rules and candidates:
+        best, best_cost = None, rule_set_cost(chosen, columns)
+        for cand in candidates:
+            cost = rule_set_cost(chosen + [cand], columns)
+            if best is None or cost < best_cost:
+                best, best_cost = cand, cost
+        if best is None or (chosen and best_cost >= rule_set_cost(chosen, columns)):
+            break
+        chosen.append(best)
+        candidates = [c for c in candidates if c is not best]
+    return chosen
