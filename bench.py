@@ -122,7 +122,7 @@ def run_pipeline(spark: SparkSession, sf_dir: str, variants: int = 40) -> dict:
 
 def scoring_throughput(spark: SparkSession, sf_dir: str,
                        variants: int = 100, partitions: int = 128,
-                       runs: int = 2) -> dict:
+                       runs: int = 3) -> dict:
     """Pure scoring throughput (pairs-scored/sec): the pair table is built
     and pre-joined UNTIMED; the timed section is metrics (vectorized JW batch
     + JVM levenshtein) -> gamma CASE -> Bayes factors -> match weights,
