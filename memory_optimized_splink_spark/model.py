@@ -37,6 +37,11 @@ class ComparisonLevel:
     tf_adjustment: bool = False
     tf_minimum_u_value: float = 0.0
     only_help: bool = False
+    # second column for columns_reversed levels (a_l=b_r AND b_l=a_r)
+    column2: str | None = None
+    # lat/long columns for distance_in_km levels
+    lat_column: str | None = None
+    long_column: str | None = None
     # fork fuzzy-TF params (/root/reference/.../comparison_level.py:720-744)
     fuzzy_similarity_value: float | None = None
     fuzzy_max_epsilon: float | None = None

@@ -95,10 +95,16 @@ def n_largest_blocks(nodes: DataFrame, rule: BlockingRule, n: int = 10) -> DataF
 
 
 def _project_pairs(joined: DataFrame, i: int, rules: list[BlockingRule],
-                   uid: str) -> DataFrame:
+                   uid: str, link_only_col: str | None = None) -> DataFrame:
     """Apply pair ordering + preceding-rule exclusion, project to id pairs.
     Must run while l./r. qualifiers are still resolvable."""
     joined = joined.where(F.col(f"l.{uid}") < F.col(f"r.{uid}"))
+    if link_only_col:
+        # link_only: only cross-dataset pairs (the reference splits the
+        # concat into left/right tables, vertically_concatenate.py:213-249;
+        # the filter expresses the same pair set)
+        joined = joined.where(
+            F.col(f"l.{link_only_col}") != F.col(f"r.{link_only_col}"))
     excl = _exclusion_filter(i, rules)
     if excl is not None:
         joined = joined.where(excl)
@@ -115,6 +121,7 @@ def _equi_rule_pairs(
     rule: BlockingRule,
     uid: str,
     rules: list[BlockingRule],
+    link_only_col: str | None = None,
 ) -> DataFrame:
     keys = [_bk(i, j) for j in range(len(rule.keys))]
     base = nodes_k.where(_all_not_null(keys))
@@ -135,7 +142,7 @@ def _equi_rule_pairs(
         return l.alias("l").join(r.alias("r"), cond, "inner")
 
     if hot_keys is None:
-        return _project_pairs(join_on(base, base), i, rules, uid)
+        return _project_pairs(join_on(base, base), i, rules, uid, link_only_col)
 
     flagged = base.join(
         F.broadcast(hot_keys.withColumn("_hot", F.lit(True))), on=keys, how="left"
@@ -149,10 +156,11 @@ def _equi_rule_pairs(
     hot_r = hot.withColumn(
         "_salt", F.explode(F.array(*[F.lit(s).cast("int") for s in range(k_salt)]))
     )
-    cold_pairs = _project_pairs(join_on(cold, cold), i, rules, uid)
+    cold_pairs = _project_pairs(join_on(cold, cold), i, rules, uid,
+                                link_only_col)
     hot_pairs = _project_pairs(
         join_on(hot_l, hot_r, extra=(F.col("l._salt") == F.col("r._salt"))),
-        i, rules, uid,
+        i, rules, uid, link_only_col,
     )
     # cold x hot pairs: keys differ by construction, so no pairs are lost.
     return cold_pairs.unionByName(hot_pairs)
@@ -164,6 +172,8 @@ def block_using_rules(nodes: DataFrame, settings: Settings) -> DataFrame:
     uid = settings.unique_id_column_name
     rules = list(settings.blocking_rules)
     has_theta = any(r.sql for r in rules)
+    link_only_col = (settings.source_dataset_column_name
+                     if settings.link_type == "link_only" else None)
     nodes_k = _with_rule_keys(nodes, rules)
     if not has_theta:
         keep = [uid] + [
@@ -171,16 +181,19 @@ def block_using_rules(nodes: DataFrame, settings: Settings) -> DataFrame:
             for i, r in enumerate(rules) if r.keys
             for j in range(len(r.keys))
         ]
+        if link_only_col:
+            keep.append(link_only_col)
         nodes_k = nodes_k.select(*keep)
 
     outs: list[DataFrame] = []
     for i, rule in enumerate(rules):
         if rule.keys:
-            outs.append(_equi_rule_pairs(nodes_k, i, rule, uid, rules))
+            outs.append(_equi_rule_pairs(nodes_k, i, rule, uid, rules,
+                                         link_only_col))
         else:
             joined = nodes_k.alias("l").join(nodes_k.alias("r"), F.expr(rule.sql),
                                              "inner")
-            outs.append(_project_pairs(joined, i, rules, uid))
+            outs.append(_project_pairs(joined, i, rules, uid, link_only_col))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

@@ -65,6 +65,9 @@ def columns_needed(settings: Settings) -> list[str]:
             c = lv.column or comp.column
             if c and c not in cols:
                 cols.append(c)
+            for extra in (lv.column2, lv.lat_column, lv.long_column):
+                if extra and extra not in cols:
+                    cols.append(extra)
             if lv.tf_adjustment:
                 tf = f"tf_{lv.column or comp.column}"
                 if tf not in cols:
@@ -151,6 +154,28 @@ def _level_condition(comp: Comparison, lv: ComparisonLevel) -> Column:
         return F.abs(
             F.unix_timestamp(l) - F.unix_timestamp(r)
         ) <= F.lit(lv.threshold)
+    if lv.kind == "columns_reversed":
+        # a_l = b_r AND b_l = a_r (comparison_level_library.py:356-396)
+        b_l, b_r = F.col(f"{lv.column2}_l"), F.col(f"{lv.column2}_r")
+        return (l == b_r) & (b_l == r)
+    if lv.kind == "distance_in_km":
+        # haversine (comparison_level_library.py:812-864), pure trig expr
+        lat_l = F.radians(F.col(f"{lv.lat_column}_l"))
+        lat_r = F.radians(F.col(f"{lv.lat_column}_r"))
+        dlat = lat_r - lat_l
+        dlon = F.radians(F.col(f"{lv.long_column}_r")) - \
+            F.radians(F.col(f"{lv.long_column}_l"))
+        a = F.pow(F.sin(dlat / 2), 2) + \
+            F.cos(lat_l) * F.cos(lat_r) * F.pow(F.sin(dlon / 2), 2)
+        dist_km = 2 * 6371.0 * F.asin(F.sqrt(a))
+        return dist_km <= F.lit(lv.threshold)
+    if lv.kind == "pairwise_levenshtein":
+        # best pairwise distance between two string arrays
+        # (comparison_level_library.py:598-692): native higher-order fns +
+        # JVM levenshtein inside the lambda
+        best = F.array_min(F.flatten(F.transform(
+            l, lambda x: F.transform(r, lambda y: F.levenshtein(x, y)))))
+        return best <= F.lit(int(lv.threshold))
     if lv.kind in _METRIC_KINDS:
         m = F.col(_metric_col(comp, lv.kind, c))
         if lv.kind in ("levenshtein", "damerau_levenshtein"):
