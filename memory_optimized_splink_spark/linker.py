@@ -88,19 +88,59 @@ class SparkLinker:
     ) -> DataFrame:
         cv = self.comparison_vectors()
         n_records = None
-        if any(lv.tf_adjustment for c in self.settings.comparisons
-               for lv in c.levels):
+        if self.settings.tf_array_columns or any(
+                lv.tf_adjustment for c in self.settings.comparisons
+                for lv in c.levels):
             n_records = self.nodes().count()
+
+        def build():
+            cv2 = cv
+            if self.settings.tf_array_columns:
+                cv2 = self._with_tf_array_adjustments(cv, float(n_records))
+            return predict_op(
+                cv2, self.settings, n_records=n_records,
+                threshold_match_probability=threshold_match_probability,
+                threshold_match_weight=threshold_match_weight,
+            )
+
         return self.registry.stage(
             "predict",
             self._config(tp=threshold_match_probability,
                          tw=threshold_match_weight),
-            lambda: predict_op(
-                cv, self.settings, n_records=n_records,
-                threshold_match_probability=threshold_match_probability,
-                threshold_match_weight=threshold_match_weight,
-            ),
+            build,
         )
+
+    def _with_tf_array_adjustments(self, cv: DataFrame, n_records: float
+                                   ) -> DataFrame:
+        """Fork's array-column TF adjustment (inference.py:335-550): for each
+        configured array column with a matching comparison, join the
+        intersect-term TF adjustment onto the pair table."""
+        from .operators.nodes import compute_tf_table
+        from .operators.tf_array import (
+            apply_tf_array_adjustments, tf_array_adjustment,
+        )
+
+        # re-fetch pair columns for the array cols (cv carries only gammas)
+        pairs = cv.select(*[c for c in cv.columns])
+        nodes = self.nodes()
+        adjustments = {}
+        for col in self.settings.tf_array_columns:
+            comp = next((c for c in self.settings.comparisons
+                         if (c.column == col)), None)
+            if comp is None:
+                continue
+            gamma_levels = [g for g, lv in comp.graded_levels
+                            if lv.kind != "else"]
+            tf = compute_tf_table(nodes, col, is_array=True)
+            side = lambda s: nodes.select(
+                F.col(self.settings.unique_id_column_name)
+                .alias(f"unique_id{s}"), F.col(col).alias(f"{col}{s}"))
+            pw = pairs.join(side("_l"), on="unique_id_l") \
+                      .join(side("_r"), on="unique_id_r")
+            adjustments[col] = tf_array_adjustment(
+                pw, tf, col, comp.gamma_column, gamma_levels,
+                n_records=n_records)
+        return apply_tf_array_adjustments(cv, adjustments)
 
     def cluster(self, threshold_match_probability: float,
                 with_md5_ids: bool = False) -> DataFrame:

@@ -125,6 +125,10 @@ def predict(
         f"bf_tf_adj_{c.name}" for c in comps
         if any(lv.tf_adjustment and lv.kind != "else" for lv in c.levels)
     ]
+    # array-TF adjustment columns pre-joined by apply_tf_array_adjustments
+    # (operators/tf_array.py) multiply into the same product
+    terms += [c for c in cv.columns
+              if c.startswith("bf_tf_adj_") and c not in terms]
     prior_bf = prob_to_bayes_factor(settings.probability_two_random_records_match)
     total = F.lit(float(prior_bf))
     for t in terms:
