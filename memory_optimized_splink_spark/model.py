@@ -136,10 +136,16 @@ class BlockingRule:
     label: str = ""
     salting_partitions: int = 1
     hot_key_threshold: int | None = None
+    # array columns among `keys` to unnest before the equi-join (exploding
+    # rule, /root/reference/splink/internals/blocking.py:404-543); matched
+    # pairs are deduped on the id pair afterwards.
+    explode_columns: tuple[str, ...] = ()
 
     def __post_init__(self):
         if isinstance(self.keys, list):
             object.__setattr__(self, "keys", tuple(self.keys))
+        if isinstance(self.explode_columns, list):
+            object.__setattr__(self, "explode_columns", tuple(self.explode_columns))
         if self.keys is None and self.sql is None:
             raise ValueError("BlockingRule needs keys or sql")
 
@@ -196,6 +202,7 @@ class Settings:
                 sql=b.get("sql"), label=b.get("label", ""),
                 salting_partitions=b.get("salting_partitions", 1),
                 hot_key_threshold=b.get("hot_key_threshold"),
+                explode_columns=tuple(b.get("explode_columns", ())),
             )
             for b in d["blocking_rules"]
         )

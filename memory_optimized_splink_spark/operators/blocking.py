@@ -55,8 +55,14 @@ def _exclusion_filter(i: int, rules: list[BlockingRule]):
         r = rules[j]
         if r.keys:
             c = None
-            for k in range(len(r.keys)):
-                eq = F.col(f"l.{_bk(j, k)}") == F.col(f"r.{_bk(j, k)}")
+            for k, key_expr in enumerate(r.keys):
+                lcol, rcol = F.col(f"l.{_bk(j, k)}"), F.col(f"r.{_bk(j, k)}")
+                if key_expr in r.explode_columns:
+                    # an exploding rule matched the pair iff the arrays
+                    # share any term (blocking.py:581-684 marginal pairs)
+                    eq = F.arrays_overlap(lcol, rcol)
+                else:
+                    eq = lcol == rcol
                 c = eq if c is None else (c & eq)
         else:
             c = F.expr(r.sql)
@@ -187,7 +193,19 @@ def block_using_rules(nodes: DataFrame, settings: Settings) -> DataFrame:
 
     outs: list[DataFrame] = []
     for i, rule in enumerate(rules):
-        if rule.keys:
+        if rule.keys and rule.explode_columns:
+            # exploding rule (blocking.py:404-543): unnest the array key(s)
+            # so the equi-join runs on scalar terms; a pair sharing several
+            # terms appears once per term -> dedupe on the id pair
+            nodes_e = nodes_k
+            for j, k in enumerate(rule.keys):
+                if k in rule.explode_columns:
+                    nodes_e = nodes_e.withColumn(_bk(i, j),
+                                                 F.explode(F.col(_bk(i, j))))
+            outs.append(
+                _equi_rule_pairs(nodes_e, i, rule, uid, rules,
+                                 link_only_col).distinct())
+        elif rule.keys:
             outs.append(_equi_rule_pairs(nodes_k, i, rule, uid, rules,
                                          link_only_col))
         else:

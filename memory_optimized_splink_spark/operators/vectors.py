@@ -146,6 +146,11 @@ def _level_condition(comp: Comparison, lv: ComparisonLevel) -> Column:
         return F.expr(lv.sql_condition)
     if lv.kind == "array_intersect":
         return F.size(F.array_intersect(l, r)) >= F.lit(int(lv.threshold))
+    if lv.kind == "array_subset":
+        # size(intersect) = least(size(l), size(r)), both non-empty
+        # (comparison_level_library.py:946-985)
+        return (F.size(l) > 0) & (F.size(r) > 0) & (
+            F.size(F.array_intersect(l, r)) == F.least(F.size(l), F.size(r)))
     if lv.kind == "abs_diff":
         return F.abs(l - r) <= F.lit(lv.threshold)
     if lv.kind == "pct_diff":

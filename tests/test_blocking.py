@@ -97,3 +97,65 @@ def test_no_cartesian_product_in_equi_plan(repo_nodes, basic_settings):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exploding_blocking_rule(spark, basic_settings):
+    from dataclasses import replace
+
+    from memory_optimized_splink_spark.model import BlockingRule
+
+    df = spark.createDataFrame(
+        [("1", ["a", "b"]), ("2", ["b", "c"]), ("3", ["c"]), ("4", [])],
+        "unique_id string, terms array<string>")
+    rule = BlockingRule(keys=("terms",), explode_columns=("terms",))
+    s = replace(basic_settings, blocking_rules=(rule,))
+    pairs = _ids_only(_pair_set(block_using_rules(df, s)))
+    assert pairs == {("1", "2"), ("2", "3")}  # shared terms; each pair once
+
+
+def test_exploding_rule_exclusion_downstream(spark, basic_settings):
+    """A later scalar rule must not re-emit pairs an exploding rule found."""
+    from dataclasses import replace
+
+    from memory_optimized_splink_spark.model import BlockingRule, block_on
+
+    df = spark.createDataFrame(
+        [("1", ["a"], "k"), ("2", ["a"], "k"), ("3", ["z"], "k")],
+        "unique_id string, terms array<string>, grp string")
+    rules = (BlockingRule(keys=("terms",), explode_columns=("terms",)),
+             block_on("grp"))
+    s = replace(basic_settings, blocking_rules=rules)
+    rows = block_using_rules(df, s).collect()
+    by_pair = {}
+    for r in rows:
+        key = (r["unique_id_l"], r["unique_id_r"])
+        assert key not in by_pair, "duplicate pair across rules"
+        by_pair[key] = r["match_key"]
+    assert by_pair[("1", "2")] == "0"  # found by the exploding rule
+    assert by_pair[("1", "3")] == "1" and by_pair[("2", "3")] == "1"
+
+
+def test_salted_predict_invariant(repo_nodes, basic_settings):
+    """Reference invariant test_salting_len.py:10-55: salted vs unsalted
+    predict -> same pair set AND same sum of match_probability."""
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    from memory_optimized_splink_spark.model import block_on
+    from memory_optimized_splink_spark.operators.score import predict
+    from memory_optimized_splink_spark.operators.vectors import (
+        compute_comparison_vectors,
+    )
+
+    sums = []
+    for hot in (None, 10):
+        s = replace(basic_settings, blocking_rules=(
+            block_on("repo", hot_key_threshold=hot, salting_partitions=4),))
+        pairs = block_using_rules(repo_nodes, s)
+        cv = compute_comparison_vectors(pairs, repo_nodes, s)
+        total = predict(cv, s).agg(
+            F.sum("match_probability").alias("s"),
+            F.count(F.lit(1)).alias("n")).collect()[0]
+        sums.append((total["n"], round(total["s"], 9)))
+    assert sums[0] == sums[1]
