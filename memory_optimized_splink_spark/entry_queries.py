@@ -769,3 +769,105 @@ def flagship(spark: SparkSession,
         F.count(F.lit(1)).alias("cluster_size"))
     return member.join(sizes, on="cluster_id") \
         .select("node_id", "cluster_id", "cluster_size")
+
+
+# --- unlinkables: self-link score distribution -------------------------------
+
+@q("unlinkables",
+   f"""WITH {RF_CTE},
+selfp AS (
+  SELECT ROUND(log2(
+    CAST({PRIOR / (1 - PRIOR)!r} AS DOUBLE)
+    * (CASE WHEN content_sha IS NULL THEN 1.0 ELSE {M_U["content_sha"][1][0]}/{M_U["content_sha"][1][1]} END)
+    * (CASE WHEN path IS NULL THEN 1.0 ELSE {M_U["path"][3][0]}/{M_U["path"][3][1]} END)
+  ), 2) AS match_weight
+  FROM nodes
+),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM selfp),
+per_w AS (SELECT match_weight, COUNT(*) AS cnt FROM selfp GROUP BY match_weight)
+SELECT match_weight,
+  ROUND(cnt / (SELECT n FROM tot), 6) AS prop,
+  ROUND(SUM(cnt) OVER (ORDER BY match_weight
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        / (SELECT n FROM tot), 6) AS cum_prop
+FROM per_w""")
+def q_unlinkables(spark, sf_dir):
+    """Self-link weight distribution (linker.py:505-564 / unlinkables.py)."""
+    from .operators.cluster_extras import unlinkables_data
+    nodes = nodes_df(spark, sf_dir)
+    pairs = nodes.select(
+        F.lit("0").alias("match_key"),
+        F.col("unique_id").alias("unique_id_l"),
+        F.col("unique_id").alias("unique_id_r"))
+    s = entry_settings()
+    cv = compute_comparison_vectors(pairs, nodes, s)
+    pred = predict_op(cv, s)
+    out = unlinkables_data(pred, round_dp=2)
+    return out.select("match_weight", F.round("prop", 6).alias("prop"),
+                      F.round("cum_prop", 6).alias("cum_prop"))
+
+
+# --- language id (stopword-vote heuristic) -----------------------------------
+
+def _duck_langid_sql() -> str:
+    from .functions.text import _LANG_MARKERS
+    toks = ("list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+            " x -> x <> '')")
+    scores = {
+        lang: ("len(list_distinct(list_intersect(%s, %s)))"
+               % (toks, "[" + ", ".join(f"'{w}'" for w in words) + "]"))
+        for lang, words in _LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"WHEN {scores[lang]} = best AND best > 0 THEN '{lang}'"
+        for lang in _LANG_MARKERS
+    )
+    return (f"WITH t AS (SELECT doc_id, {best} AS best, text FROM documents) "
+            f"SELECT doc_id, CASE {whens} ELSE 'und' END AS lang_id FROM t")
+
+
+@q("language_id", _duck_langid_sql())
+def q_language_id(spark, sf_dir):
+    from .functions.text import language_id
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", language_id(F.col("text")).alias("lang_id"))
+
+
+# --- completeness ------------------------------------------------------------
+
+@q("completeness",
+   """SELECT 'text' AS column_name,
+       ROUND(CAST(COUNT(text) AS DOUBLE) / COUNT(*), 6) AS completeness
+   FROM documents
+   UNION ALL
+   SELECT 'lang', ROUND(CAST(COUNT(lang) AS DOUBLE) / COUNT(*), 6)
+   FROM documents""")
+def q_completeness(spark, sf_dir):
+    from .operators.profiling import completeness_data
+    out = completeness_data(load(spark, sf_dir, "documents"),
+                            columns=["text", "lang"])
+    return out.select("column_name",
+                      F.round("completeness", 6).alias("completeness"))
+
+
+# --- graph metrics over predicted edges (depends on CC: rows-only) -----------
+
+@q("cluster_graph_metrics")
+def q_cluster_graph_metrics(spark, sf_dir):
+    from .operators.cluster import graph_metrics
+    pred = _spark_predict(spark, sf_dir)
+    edges = pred.where(F.col("match_probability") >= 0.9) \
+        .select("unique_id_l", "unique_id_r")
+    member = q_cluster_membership(spark, sf_dir)
+    _, cluster_metrics = graph_metrics(member, edges)
+    return cluster_metrics
+
+
+# --- winnowing fingerprint (xxhash64-based: rows-only) ------------------------
+
+@q("fingerprints")
+def q_fingerprints(spark, sf_dir):
+    from .functions.text import fingerprint64
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint64(F.col("text")).alias("fingerprint"))

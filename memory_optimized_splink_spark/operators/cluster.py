@@ -181,3 +181,41 @@ def cluster_sizes(membership: DataFrame) -> DataFrame:
     return membership.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+def graph_metrics(membership: DataFrame, edges: DataFrame,
+                  node_col: str = "node_id",
+                  edge_l: str = "unique_id_l",
+                  edge_r: str = "unique_id_r") -> tuple[DataFrame, DataFrame]:
+    """Node + cluster graph metrics (graph_metrics.py:28-115,257-312):
+    node degree; per-cluster n_nodes, n_edges, density
+    (2E / N(N-1)) and centralisation (Freeman degree centralisation).
+    Returns (node_metrics, cluster_metrics)."""
+    endpoints = edges.select(F.col(edge_l).alias(node_col)).unionAll(
+        edges.select(F.col(edge_r).alias(node_col)))
+    degrees = endpoints.groupBy(node_col).agg(
+        F.count(F.lit(1)).alias("node_degree"))
+    node_metrics = membership.join(degrees, on=node_col, how="left") \
+        .withColumn("node_degree", F.coalesce("node_degree", F.lit(0)))
+    cluster_metrics = (
+        node_metrics.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            (F.sum("node_degree") / 2.0).alias("n_edges"),
+            F.max("node_degree").alias("_max_deg"),
+            F.sum("node_degree").alias("_sum_deg"),
+        )
+        .select(
+            "cluster_id", "n_nodes", "n_edges",
+            F.when(
+                F.col("n_nodes") > 1,
+                2.0 * F.col("n_edges") / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+            ).alias("density"),
+            F.when(
+                F.col("n_nodes") > 2,
+                (F.col("n_nodes") * F.col("_max_deg") - F.col("_sum_deg"))
+                / ((F.col("n_nodes") - 1) * (F.col("n_nodes") - 2)),
+            ).alias("cluster_centralisation"),
+        )
+    )
+    return node_metrics, cluster_metrics

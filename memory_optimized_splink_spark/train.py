@@ -193,13 +193,26 @@ def estimate_parameters_using_em(
         settings, comparisons=tuple(active),
         blocking_rules=(training_rule,),
     )
+    # blocking-adjusted session lambda (em_training_session.py:375-405):
+    # within blocked pairs, the deactivated comparisons agree by
+    # construction, so the prior's Bayes factor is multiplied by each
+    # deactivated comparison's exact-level m/u
+    adj_bf = prob_to_bayes_factor(
+        settings.probability_two_random_records_match)
+    for comp in inactive:
+        exact = next((lv for _, lv in comp.graded_levels
+                      if lv.kind == "exact"), None)
+        if exact is not None and exact.u:
+            adj_bf *= exact.m / exact.u
+    lam0 = adj_bf / (1 + adj_bf)
+
     pairs = block_using_rules(nodes, train_settings)
     cv = compute_comparison_vectors(pairs, nodes, train_settings,
                                     retain_columns=False)
     patterns = agreement_pattern_counts(cv, active)
     trained, lam, history = expectation_maximisation(
         patterns, active,
-        lam=settings.probability_two_random_records_match,
+        lam=lam0,
         em_convergence=settings.em_convergence,
         max_iterations=settings.max_iterations,
         fix_u=fix_u,
