@@ -79,3 +79,26 @@ def test_entry_flagship(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {"node_id", "cluster_id", "cluster_size"}
+
+
+def test_entry_on_vanilla_session():
+    """The driver builds its own SparkSession; entry() must not depend on
+    our session tuning (Arrow flags, checkpoint dir, AQE settings). Runs in
+    a subprocess — getOrCreate in-process would reuse (and stop() would
+    kill) the suite's shared session."""
+    import subprocess
+    import sys
+
+    script = (
+        "from pyspark.sql import SparkSession\n"
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import __spark_entry__ as m\n"
+        "spark = (SparkSession.builder.master('local[2]')"
+        ".config('spark.ui.enabled','false').getOrCreate())\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "print('VANILLA_ROWS', m.entry(spark).count())\n"
+    )
+    out = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                         text=True, timeout=600)
+    assert "VANILLA_ROWS" in out.stdout, out.stderr[-2000:]
+    assert int(out.stdout.split("VANILLA_ROWS")[1].split()[0]) > 0
