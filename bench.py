@@ -104,11 +104,17 @@ def run_pipeline(spark: SparkSession, sf_dir: str, variants: int = 40) -> dict:
     out["n_pairs"] = n_pairs
     out["t_block"] = time.time() - t0
 
-    t0 = time.time()
-    cv = compute_comparison_vectors(pairs, nodes, s)
-    pred = predict_op(cv, s).localCheckpoint(eager=True)
-    out["n_scored"] = pred.count()
-    out["t_score"] = time.time() - t0
+    # two timed scoring runs; keep the steady-state (the sandbox VM is
+    # noisy and the first run may still page in worker state)
+    times = []
+    for _ in range(2):
+        t0 = time.time()
+        cv = compute_comparison_vectors(pairs, nodes, s)
+        pred = predict_op(cv, s).localCheckpoint(eager=True)
+        out["n_scored"] = pred.count()
+        times.append(time.time() - t0)
+    out["t_score_runs"] = [round(t, 3) for t in times]
+    out["t_score"] = min(times)
     out["pairs_scored_per_sec"] = n_pairs / out["t_score"]
 
     t0 = time.time()

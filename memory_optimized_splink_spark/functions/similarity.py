@@ -56,7 +56,18 @@ def _jaro_block(a: np.ndarray, la: np.ndarray, b: np.ndarray, lb: np.ndarray
 
     a,b: (n, L) code matrices; la,lb: lengths. Loop is over L (string
     positions), all row-wise work is numpy.
+
+    Fast path: identical strings (the dominant case downstream of an
+    exact-key blocking rule) resolve to 1.0 without the matching loop.
     """
+    identical = (la == lb) & (a == b).all(axis=1)
+    if identical.any():
+        out = np.empty(len(la), dtype=np.float64)
+        out[identical] = np.where(la[identical] == 0, 0.0, 1.0)
+        rest = ~identical
+        if rest.any():
+            out[rest] = _jaro_block(a[rest], la[rest], b[rest], lb[rest])
+        return out
     n, L = a.shape
     window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)  # (n,)
     ks = np.arange(L, dtype=np.int32)

@@ -171,6 +171,25 @@ class SparkLinker:
         )
         return self
 
+    def estimate_lambda(self, deterministic_rules: list, recall: float
+                        ) -> "SparkLinker":
+        """probability_two_random_records_match from deterministic rules
+        (linker_components/training.py:34-158)."""
+        from dataclasses import replace
+
+        lam = train_mod.estimate_probability_two_random_records_match(
+            self.nodes(), self.settings, deterministic_rules, recall)
+        self.settings = replace(
+            self.settings, probability_two_random_records_match=lam)
+        return self
+
+    def count_comparisons(self, rule) -> int:
+        """Comparison count a blocking rule would generate
+        (blocking_analysis.count_comparisons_from_blocking_rule)."""
+        from .operators.brs import count_comparisons_for_keys
+
+        return count_comparisons_for_keys(self.nodes(), tuple(rule.keys))
+
     def estimate_m_with_em(self, training_rule, fix_u: bool = True
                            ) -> list[dict]:
         self.settings, history = train_mod.estimate_parameters_using_em(
@@ -250,3 +269,13 @@ class SparkLinker:
         uid = self.settings.unique_id_column_name
         mem = self.cluster(threshold).select(uid, "cluster_id", truth_col)
         return pairwise_cluster_f1(mem, truth_col=truth_col)
+
+
+def _blocking_analysis_api():
+    """Module-level re-exports for discoverability (reference
+    blocking_analysis public API)."""
+    from .operators.blocking import n_largest_blocks  # noqa: F401
+    from .operators.brs import (  # noqa: F401
+        count_comparisons_for_keys, find_rules_below_threshold,
+        suggest_blocking_rules,
+    )

@@ -87,3 +87,18 @@ def test_compare_two_records(spark, repo_nodes, basic_settings):
     other["path"] = "totally/different/zzz.md"
     diff = linker.compare_two_records(row, other).collect()[0]
     assert diff["match_probability"] < same["match_probability"]
+
+
+def test_estimate_lambda_and_count_comparisons(spark, repo_nodes, basic_settings):
+    from memory_optimized_splink_spark.model import block_on
+
+    linker = SparkLinker(spark, repo_nodes, basic_settings)
+    n = repo_nodes.count()
+    # deterministic rule: exact content hash; recall assumed 0.9
+    linker.estimate_lambda([block_on("content_sha")], recall=0.9)
+    lam = linker.settings.probability_two_random_records_match
+    assert 0 < lam < 0.1
+    # lambda ~ (#content-dup pairs / 0.9) / C(n,2)
+    exact_pairs = linker.count_comparisons(block_on("content_sha"))
+    expected = (exact_pairs / 0.9) / (n * (n - 1) / 2)
+    assert abs(lam - expected) < 1e-9
