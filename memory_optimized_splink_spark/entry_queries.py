@@ -871,3 +871,13 @@ def q_fingerprints(spark, sf_dir):
     from .functions.text import fingerprint64
     return load(spark, sf_dir, "documents").select(
         "doc_id", fingerprint64(F.col("text")).alias("fingerprint"))
+
+
+# --- near-dedup pipeline (rows-only: CC inside) --------------------------------
+
+@q("near_dedup_documents")
+def q_near_dedup(spark, sf_dir):
+    from .operators.dedup import near_dedup_documents
+    return near_dedup_documents(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        jaccard_threshold=0.8)

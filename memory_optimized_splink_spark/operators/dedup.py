@@ -264,3 +264,50 @@ def embedding_cosine_pairs(
                 cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def near_dedup_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end near-duplicate clustering for a document corpus: exact
+    sha-groups collapse to one representative (no pair blowup for identical
+    cliques), MinHash-LSH candidates between representatives are verified
+    with exact n-gram Jaccard, verified pairs close transitively (the same
+    large-star/small-star CC as entity clustering), then membership is
+    fanned back out to all exact copies.
+
+    Output: (doc id, dup_cluster_id, is_canonical) — keep is_canonical rows
+    for a deduplicated training corpus.
+    """
+    from .cluster import solve_connected_components
+
+    exact = exact_dedup(df, id_col, text_col)
+    reps = exact.where(F.col("is_canonical")).select(
+        F.col("doc_id").alias("_rep_id"), "dup_group_id")
+    rep_docs = df.join(
+        reps.withColumnRenamed("_rep_id", id_col).select(id_col), on=id_col)
+    near = minhash_dedup_pairs(
+        rep_docs, id_col, text_col, jaccard_threshold=jaccard_threshold,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k, seed=seed)
+    member = solve_connected_components(
+        rep_docs.select(F.col(id_col)), near,
+        node_col=id_col, edge_l="id_l", edge_r="id_r")
+    # fan membership back out through the exact groups
+    rep_cluster = member.select(F.col("node_id").alias("_rep_id"),
+                                F.col("cluster_id").alias("dup_cluster_id"))
+    out = exact.join(reps, on="dup_group_id") \
+        .join(rep_cluster, on="_rep_id") \
+        .select("doc_id", "dup_cluster_id")
+    from pyspark.sql import Window
+    w = Window.partitionBy("dup_cluster_id")
+    return out.select(
+        "doc_id", "dup_cluster_id",
+        (F.min("doc_id").over(w) == F.col("doc_id")).alias("is_canonical"),
+    )

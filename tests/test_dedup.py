@@ -83,3 +83,25 @@ def test_embedding_cosine_pairs(spark):
         df, "vec_id", "embedding", threshold=0.99, n_planes=8).collect()}
     assert ("v1", "v2") in got
     assert ("v1", "v3") not in got
+
+
+def test_near_dedup_documents(spark):
+    from memory_optimized_splink_spark.operators.dedup import (
+        near_dedup_documents,
+    )
+
+    docs = spark.createDataFrame(DOCS + [
+        ("d7", DOCS[0][1]),  # exact copy of d1 (3-clique with d1/d2)
+    ], "doc_id string, text string")
+    out = {r["doc_id"]: r for r in near_dedup_documents(
+        docs, "doc_id", "text", jaccard_threshold=0.5).collect()}
+    assert len(out) == 7
+    # d1/d2/d7 exact copies + d3 near-dup: one cluster
+    c = out["d1"]["dup_cluster_id"]
+    assert {out[d]["dup_cluster_id"] for d in ("d2", "d3", "d7")} == {c}
+    # exactly one canonical per cluster
+    canon = [d for d, r in out.items()
+             if r["dup_cluster_id"] == c and r["is_canonical"]]
+    assert len(canon) == 1
+    # unrelated doc stays its own cluster
+    assert out["d6"]["dup_cluster_id"] != c
