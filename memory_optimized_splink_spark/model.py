@@ -35,6 +35,7 @@ class ComparisonLevel:
     m: float | None = None
     u: float | None = None
     tf_adjustment: bool = False
+    tf_adjustment_weight: float = 1.0  # upstream-style (u/tf)^w exponent
     tf_minimum_u_value: float = 0.0
     only_help: bool = False
     # second column for columns_reversed levels (a_l=b_r AND b_l=a_r)

@@ -89,8 +89,8 @@ def agreement_pattern_counts(cv: DataFrame, comparisons: list[Comparison]
     )
 
 
-def _e_step(patterns: pd.DataFrame, comparisons: list[Comparison],
-            lam: float) -> np.ndarray:
+def _bf_vector(patterns: pd.DataFrame, comparisons: list[Comparison],
+               lam: float) -> np.ndarray:
     bf = np.full(len(patterns), prob_to_bayes_factor(lam), dtype=np.float64)
     for comp in comparisons:
         g = patterns[comp.gamma_column].to_numpy()
@@ -99,6 +99,12 @@ def _e_step(patterns: pd.DataFrame, comparisons: list[Comparison],
             lut[gamma] = (lv.m / lv.u) if lv.u > 0 else np.inf
         factors = np.array([lut[int(x)] for x in g])
         bf *= factors
+    return bf
+
+
+def _e_step(patterns: pd.DataFrame, comparisons: list[Comparison],
+            lam: float) -> np.ndarray:
+    bf = _bf_vector(patterns, comparisons, lam)
     with np.errstate(invalid="ignore"):
         p = bf / (1.0 + bf)
     return np.where(np.isinf(bf), 1.0, p)
@@ -278,3 +284,101 @@ def estimate_probability_two_random_records_match(
     n = nodes.count()
     cart = n * (n - 1) / 2
     return max(min(n_matches / cart, 1.0 - 1e-12), 1e-12)
+
+
+# --------------------------------------------------- EM with TF adjustments
+
+def estimate_parameters_using_em_with_tf(
+    nodes: DataFrame,
+    settings: Settings,
+    training_rule,
+    fix_u: bool = True,
+) -> tuple[Settings, list[dict]]:
+    """EM whose E-step includes upstream-Splink term-frequency adjustments:
+    for an exact level with tf_adjustment, the pair's Bayes factor is
+    multiplied by (u / tf_term)^tf_adjustment_weight (validated bit-exact
+    against the reference's Splink-2 golden lambda history,
+    tests/datasets/splink2_proportion_of_matches_history_*.csv).
+
+    The agreement-pattern collapse extends with the tf proportion of the
+    adjusted column (distinct-term cardinality keeps the pattern table
+    small), so iterations still never rescan the pair table.
+    """
+    settings = settings.with_defaults()
+    blocked_cols = _rule_columns(training_rule)
+    active = [c for c in settings.comparisons if c.column not in blocked_cols]
+    inactive = [c for c in settings.comparisons if c not in active]
+
+    # tf-adjusted exact levels among active comparisons
+    tf_specs = []  # (comparison, gamma_value, u, weight, column)
+    for comp in active:
+        for gamma, lv in comp.graded_levels:
+            if lv.tf_adjustment and lv.kind == "exact":
+                tf_specs.append((comp, gamma, lv.u, lv.tf_adjustment_weight,
+                                 lv.column or comp.column))
+
+    adj_bf = prob_to_bayes_factor(
+        settings.probability_two_random_records_match)
+    for comp in inactive:
+        exact = next((lv for _, lv in comp.graded_levels
+                      if lv.kind == "exact"), None)
+        if exact is not None and exact.u:
+            adj_bf *= exact.m / exact.u
+    lam0 = adj_bf / (1 + adj_bf)
+
+    from .operators.nodes import compute_tf_table
+
+    n_rows = {c: nodes.where(F.col(c).isNotNull()).count()
+              for _, _, _, _, c in tf_specs}
+    nodes_tf = nodes
+    for _, _, _, _, col in tf_specs:
+        tf = compute_tf_table(nodes, col).withColumn(
+            f"tf_{col}", F.col(f"tf_{col}") / F.lit(float(n_rows[col])))
+        nodes_tf = nodes_tf.join(F.broadcast(tf), on=col, how="left")
+
+    train_settings = replace(
+        settings, comparisons=tuple(active), blocking_rules=(training_rule,),
+        tf_columns=tuple({c for *_, c in tf_specs}),
+    )
+    pairs = block_using_rules(nodes_tf, train_settings)
+    cv = compute_comparison_vectors(pairs, nodes_tf, train_settings,
+                                    retain_columns=False)
+    gcols = [c.gamma_column for c in active]
+    tf_cols = [f"tf_{c}_l" for *_, c in tf_specs]
+    patterns = (
+        cv.groupBy(*gcols, *tf_cols)
+        .agg(F.count(F.lit(1)).alias("agreement_pattern_count"))
+        .toPandas()
+    )
+
+    import numpy as np
+
+    def e_step_tf(pats, comps, lam):
+        bf = _bf_vector(pats, comps, lam)
+        for comp, gamma, u, w, col in tf_specs:
+            g = pats[comp.gamma_column].to_numpy()
+            tfv = pats[f"tf_{col}_l"].to_numpy(dtype=float)
+            adj = np.where((g == gamma) & ~np.isnan(tfv),
+                           (u / tfv) ** w, 1.0)
+            bf = bf * adj
+        with np.errstate(invalid="ignore"):
+            out = bf / (1 + bf)
+        return np.where(np.isinf(bf), 1.0, out)
+
+    comparisons = list(active)
+    lam = lam0
+    history: list[dict] = [{"iteration": 0, "lambda": lam}]
+    prev = _params_vector(comparisons, lam)
+    for it in range(settings.max_iterations):
+        p = e_step_tf(patterns, comparisons, lam)
+        comparisons, lam = _m_step(patterns, comparisons, p, fix_u=fix_u)
+        cur = _params_vector(comparisons, lam)
+        delta = float(np.abs(cur - prev).max())
+        history.append({"iteration": it + 1, "lambda": lam,
+                        "max_delta": delta})
+        prev = cur
+        if delta < settings.em_convergence:
+            break
+    by_name = {c.name: c for c in comparisons}
+    new_comps = tuple(by_name.get(c.name, c) for c in settings.comparisons)
+    return replace(settings, comparisons=new_comps), history
