@@ -88,15 +88,25 @@ class SparkLinker:
     ) -> DataFrame:
         cv = self.comparison_vectors()
         n_records = None
-        if self.settings.tf_array_columns or any(
-                lv.tf_adjustment for c in self.settings.comparisons
-                for lv in c.levels):
-            n_records = self.nodes().count()
+        tf_cols = {
+            (lv.column or c.column)
+            for c in self.settings.comparisons
+            for lv in c.levels if lv.tf_adjustment
+        }
+        if self.settings.tf_array_columns or tf_cols:
+            nodes = self.nodes()
+            # per-field non-null counts (the fork's total_records_in_field)
+            n_records = {
+                col: nodes.where(F.col(col).isNotNull()).count()
+                for col in tf_cols
+            }
+            n_records["__total__"] = nodes.count()
 
         def build():
             cv2 = cv
             if self.settings.tf_array_columns:
-                cv2 = self._with_tf_array_adjustments(cv, float(n_records))
+                cv2 = self._with_tf_array_adjustments(
+                    cv, float(n_records["__total__"]))
             return predict_op(
                 cv2, self.settings, n_records=n_records,
                 threshold_match_probability=threshold_match_probability,

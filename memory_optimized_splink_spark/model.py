@@ -166,6 +166,10 @@ class Settings:
     em_convergence: float = 1e-4
     max_iterations: int = 25
     retain_matching_columns: bool = False
+    # "fork_count": N/tf count formulas (the fork's predict,
+    #   comparison_level.py:682-744); "upstream_ratio": (u/tf)^weight
+    #   (upstream Splink / Splink-2 golden semantics)
+    tf_style: str = "fork_count"
     additional_columns_to_retain: tuple[str, ...] = ()
     tf_columns: tuple[str, ...] = ()
     tf_array_columns: tuple[str, ...] = ()

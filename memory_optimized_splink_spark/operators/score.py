@@ -65,8 +65,22 @@ def bf_column(comp: Comparison) -> Column:
     return expr.cast("double").alias(comp.bf_column)
 
 
-def tf_adjustment_column(comp: Comparison, n_records: float) -> Column | None:
-    """Multiplier column bf_tf_adj_<comp>, or None if no level is TF-adjusted."""
+def tf_adjustment_column(comp: Comparison, n_records,
+                         tf_style: str = "fork_count") -> Column | None:
+    """Multiplier column bf_tf_adj_<comp>, or None if no level is TF-adjusted.
+
+    n_records: the fork's per-field `total_records_in_field`
+    (comparison_level.py:30-42) — pass {column: non-null count} (a single
+    float is accepted and applied to every column).
+
+    tf_style="upstream_ratio": (u / tf_proportion)^tf_adjustment_weight —
+    upstream Splink semantics, validated against the Splink-2 golden record
+    (tests/datasets/splink2_479_vs_481.csv); tf_proportion = tf_count / N."""
+    def n_for(col: str) -> float:
+        if isinstance(n_records, dict):
+            return float(n_records[col])
+        return float(n_records or 0.0)
+
     expr = None
     has_any = False
     for gamma, lv in comp.graded_levels:
@@ -74,21 +88,28 @@ def tf_adjustment_column(comp: Comparison, n_records: float) -> Column | None:
             continue
         has_any = True
         c = lv.column or comp.column
+        n = n_for(c)
         tf_l, tf_r = F.col(f"tf_{c}_l"), F.col(f"tf_{c}_r")
-        if lv.kind == "exact":
+        if tf_style == "upstream_ratio":
+            val = F.when(
+                tf_l.isNotNull(),
+                F.pow(F.lit(lv.u) * F.lit(n) / tf_l,
+                      F.lit(lv.tf_adjustment_weight)),
+            ).otherwise(F.lit(1.0))
+        elif lv.kind == "exact":
             divisor = tf_l
             if lv.tf_minimum_u_value > 0.0:
                 divisor = F.when(
                     tf_l > F.lit(lv.tf_minimum_u_value), tf_l
                 ).otherwise(F.lit(lv.tf_minimum_u_value))
-            mult = F.lit(float(n_records)) / divisor
+            mult = F.lit(n) / divisor
             val = F.when(tf_l.isNotNull(), mult).otherwise(F.lit(1.0))
         else:
             sim = lv.fuzzy_similarity_value if lv.fuzzy_similarity_value is not None else 0.9
             eps = lv.fuzzy_max_epsilon if lv.fuzzy_max_epsilon is not None else 0.0
             prod = tf_l * tf_r
-            score = F.lit(sim * n_records) / F.sqrt(prod)
-            second = (1.0 - sim) * eps * n_records ** 2
+            score = F.lit(sim * n) / F.sqrt(prod)
+            second = (1.0 - sim) * eps * n ** 2
             if second != 0:
                 score = score + F.lit(second) / prod
             val = F.when(prod.isNotNull(), score).otherwise(F.lit(1.0))
@@ -102,7 +123,7 @@ def tf_adjustment_column(comp: Comparison, n_records: float) -> Column | None:
 def predict(
     cv: DataFrame,
     settings: Settings,
-    n_records: float | None = None,
+    n_records: float | dict | None = None,
     threshold_match_probability: float | None = None,
     threshold_match_weight: float | None = None,
     keep_bf_columns: bool = False,
@@ -114,7 +135,8 @@ def predict(
     bf_cols = [bf_column(c) for c in comps]
     tf_cols = []
     for c in comps:
-        tfc = tf_adjustment_column(c, n_records or 0.0)
+        tfc = tf_adjustment_column(c, n_records,
+                                   tf_style=settings.tf_style)
         if tfc is not None:
             if n_records is None:
                 raise ValueError("n_records required for TF adjustments")

@@ -119,3 +119,31 @@ def test_em_recovers_generator_params_from_golden_cvs(spark):
     for c, (m, u) in true.items():
         assert got[c][1].m == pytest.approx(m, abs=0.02), c
         assert got[c][1].u == pytest.approx(u, abs=0.02), c
+
+
+def test_predict_479_481_matches_splink2_golden(spark, fake_1000):
+    """splink2_479_vs_481.csv: exact match weight of one golden pair through
+    the full predict path, upstream-ratio TF on first_name."""
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    from memory_optimized_splink_spark.linker import SparkLinker
+
+    golden = pd.read_csv(f"{DATA}/splink2_479_vs_481.csv").iloc[0]
+    base = _basic_settings()
+    # the splink2 run used lambda=0.3 and no surname comparison (it is the
+    # blocking key), upstream TF semantics
+    s = replace(
+        base,
+        comparisons=tuple(c for c in base.comparisons if c.name != "surname"),
+        probability_two_random_records_match=0.3,
+        tf_style="upstream_ratio",
+        tf_columns=("first_name",),
+    )
+    linker = SparkLinker(spark, fake_1000, s)
+    pred = linker.predict()
+    row = pred.where((F.col("unique_id_l") == 479)
+                     & (F.col("unique_id_r") == 481)).collect()[0]
+    assert row["match_weight"] == pytest.approx(golden["match_weight"])
+    assert row["match_probability"] == pytest.approx(golden["match_probability"])
