@@ -85,3 +85,95 @@ def apply_tf_array_adjustments(
             F.coalesce(F.col(f"tf_adjustment_{col}"), F.lit(1.0)),
         ).drop(f"tf_adjustment_{col}")
     return out
+
+
+def tf_array_adjustment_fuzzy(
+    pairs_with_cols: DataFrame,
+    tf_table: DataFrame,
+    col: str,
+    gamma_column: str,
+    fuzzy_gamma_levels: list[int],
+    n_records: float,
+    log_base: float = 2.0,
+    jw_threshold: float = 0.95,
+    max_terms: int = 10,
+    sum_terms: int = 5,
+) -> DataFrame:
+    """Fuzzy variant (inference.py:453-519): all l-term x r-term pairs with
+    jaro_winkler >= 0.95 count as common; per matched pair the tf value is
+    GREATEST(tf_l_term, tf_r_term); same harmonic formula.
+
+    Spark shape: posexplode both arrays -> term-pair grid within the pair
+    (arrays are short) -> vectorized JW batch -> tf joins -> groupBy pair.
+    """
+    import math
+
+    from ..functions.similarity import jaro_winkler_udf
+
+    tf_col = f"tf_{col}"
+    base = pairs_with_cols.where(
+        F.col(gamma_column).isin([int(g) for g in fuzzy_gamma_levels])
+    ).select("unique_id_l", "unique_id_r",
+             F.explode(F.col(f"{col}_l")).alias("term_l"),
+             F.col(f"{col}_r"))
+    grid = base.select("unique_id_l", "unique_id_r", "term_l",
+                       F.explode(F.col(f"{col}_r")).alias("term_r"))
+    matched = grid.where(
+        jaro_winkler_udf(F.col("term_l"), F.col("term_r")) >= jw_threshold)
+    tf_dim = tf_table.select(F.col(col).alias("_term"),
+                             F.col(tf_col).alias("_tf"))
+    joined = (
+        matched
+        .join(F.broadcast(tf_dim.withColumnRenamed("_term", "term_l")
+                          .withColumnRenamed("_tf", "_tf_l")),
+              on="term_l", how="left")
+        .join(F.broadcast(tf_dim.withColumnRenamed("_term", "term_r")
+                          .withColumnRenamed("_tf", "_tf_r")),
+              on="term_r", how="left")
+        .select("unique_id_l", "unique_id_r",
+                F.greatest("_tf_l", "_tf_r").alias("tf_value"))
+        .where(F.col("tf_value").isNotNull())
+    )
+    agg = (
+        joined.groupBy("unique_id_l", "unique_id_r")
+        .agg(F.sort_array(F.collect_list("tf_value")).alias("tf_values"))
+        .where(F.size("tf_values") <= max_terms)
+    )
+    ln_base = math.log(log_base)
+    adj = F.lit(float(n_records)) / F.element_at("tf_values", 1)
+    for k in range(2, sum_terms + 1):
+        term_k = (
+            F.lit(math.log(k / (k - 1))) / F.element_at("tf_values", k)
+        ) * F.lit(n_records / ln_base)
+        adj = adj + F.when(F.size("tf_values") >= k, term_k).otherwise(F.lit(0.0))
+    return agg.select(
+        "unique_id_l", "unique_id_r",
+        adj.cast("double").alias(f"tf_adjustment_{col}"),
+    )
+
+
+def tf_array_adjustment_combined(
+    pairs_with_cols: DataFrame,
+    tf_table: DataFrame,
+    col: str,
+    gamma_column: str,
+    exact_gamma_levels: list[int],
+    fuzzy_gamma_levels: list[int],
+    n_records: float,
+    **kw,
+) -> DataFrame:
+    """Exact + fuzzy tables UNION'd (inference.py:543-549): each pair falls
+    in exactly one gamma level, so the union is disjoint by construction."""
+    parts = []
+    if exact_gamma_levels:
+        parts.append(tf_array_adjustment(
+            pairs_with_cols, tf_table, col, gamma_column,
+            exact_gamma_levels, n_records, **kw))
+    if fuzzy_gamma_levels:
+        parts.append(tf_array_adjustment_fuzzy(
+            pairs_with_cols, tf_table, col, gamma_column,
+            fuzzy_gamma_levels, n_records, **kw))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -105,3 +105,34 @@ def test_tf_array_via_linker(spark, token_nodes):
     rows = {(r["unique_id_l"], r["unique_id_r"]): r
             for r in linker.predict().collect()}
     assert rows[("4", "5")]["match_weight"] > rows[("1", "3")]["match_weight"]
+
+
+def test_tf_array_fuzzy(spark, token_nodes):
+    import math
+
+    from memory_optimized_splink_spark.operators.blocking import (
+        block_using_rules,
+    )
+    from memory_optimized_splink_spark.operators.tf_array import (
+        tf_array_adjustment_fuzzy,
+    )
+
+    rows = [
+        ("a", ["acme_corp"]), ("b", ["acme_corq"]),  # jw('acme_corp','acme_corq')>=.95
+        ("c", ["zzz"]),
+    ]
+    nodes = spark.createDataFrame(rows, "unique_id string, toks array<string>")
+    s = _settings()
+    pairs = block_using_rules(nodes, s)
+    from memory_optimized_splink_spark.operators.vectors import (
+        compute_comparison_vectors,
+    )
+    pw = compute_comparison_vectors(pairs, nodes, s, retain_columns=True)
+    tf = compute_tf_table(nodes, "toks", is_array=True)
+    adj = tf_array_adjustment_fuzzy(
+        pw, tf, "toks", "gamma_toks", [0, 1], n_records=3.0)
+    got = {(r["unique_id_l"], r["unique_id_r"]): r["tf_adjustment_toks"]
+           for r in adj.collect()}
+    # (a,b): fuzzy term match, tf_value = greatest(1,1) = 1 -> N/1 = 3
+    assert abs(got[("a", "b")] - 3.0) < 1e-9
+    assert ("a", "c") not in got  # no fuzzy-similar terms
