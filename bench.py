@@ -185,17 +185,63 @@ def run_extra_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     return extras
 
 
+def skew_experiment(spark: SparkSession, sf_dir: str) -> dict:
+    """Measured hot-key splitting evidence: a planted hot blocking key
+    (8k rows -> ~32M intra-key pairs) counted with and without explicit
+    hot-key salting. Identical pair counts; wall time and max-task size
+    differ (north rule: measured skew splitting, not post-hoc only)."""
+    from dataclasses import replace
+
+    from memory_optimized_splink_spark.model import block_on
+    from memory_optimized_splink_spark import entry_queries as EQ2
+
+    _warmup(spark)
+    nodes = build_bench_nodes(spark, sf_dir, variants=40)
+    # plant the hot key: ~4% of rows collapse onto one repo
+    nodes = nodes.withColumn(
+        "repo",
+        F.when(F.xxhash64("commit") % 25 == 0, F.lit("org0/hot_repo"))
+        .otherwise(F.col("repo")),
+    ).repartition(64).localCheckpoint(eager=True)
+    n = nodes.count()
+    out: dict = {"n_rows": n}
+    s = EQ2.entry_settings()
+    for label, rule in [
+        ("plain", block_on("repo")),
+        ("hot_key_split", block_on("repo", hot_key_threshold=2000,
+                                   salting_partitions=32)),
+    ]:
+        s2 = replace(s, blocking_rules=(rule,))
+        t0 = time.time()
+        cnt = block_using_rules(nodes, s2).count()
+        out[label] = {"pairs": cnt, "wall_sec": round(time.time() - t0, 2)}
+    assert out["plain"]["pairs"] == out["hot_key_split"]["pairs"]
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--skew", action="store_true")
     ap.add_argument("--variants", type=int, default=40)
-    ap.add_argument("--scale-n", type=int, default=8,
+    ap.add_argument("--scale-n", type=int, default=4,
                     help="scaling mode compares local[N] vs local[4N]")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    if args.skew:
+        spark = get_spark(app_name="bench-skew", master=f"local[{cpus}]",
+                          shuffle_partitions=max(cpus, 16))
+        r = skew_experiment(spark, sf_dir)
+        spark.stop()
+        print(json.dumps({"metric": "hot_key_split_speedup",
+                          "value": round(r["plain"]["wall_sec"]
+                                         / r["hot_key_split"]["wall_sec"], 3),
+                          "unit": "ratio", "detail": r, "sf": sf}))
+        return
 
     if args.scaling:
         results = {}
