@@ -209,6 +209,19 @@ class SparkLinker:
             self.metrics.log(stage="em", **h)
         return history
 
+    def _ensure_tf_tables(self) -> dict:
+        """TF dims must come from the FULL node table (term_frequencies.py
+        semantics), not from whatever small frame is being scored — rebuild
+        them if the nodes stage was resumed from checkpoint."""
+        if self.settings.tf_columns and not self._tf_tables:
+            from .operators.nodes import compute_tf_table
+            base = self._input
+            self._tf_tables = {
+                col: compute_tf_table(base, col)
+                for col in self.settings.tf_columns
+            }
+        return self._tf_tables
+
     # ------------------------------------------------------------ realtime
     def find_matches_to_new_records(self, new_records: DataFrame,
                                     threshold_match_probability: float = 0.0
@@ -218,7 +231,7 @@ class SparkLinker:
         uid = self.settings.unique_id_column_name
         nodes = self.nodes()
         new_nodes, _ = join_tf_columns(new_records, self.settings,
-                                       self._tf_tables or None)
+                                       self._ensure_tf_tables() or None)
         marked = nodes.withColumn("_ds", F.lit(0)).unionByName(
             new_nodes.select(nodes.columns).withColumn("_ds", F.lit(1)),
             allowMissingColumns=True,
@@ -242,7 +255,8 @@ class SparkLinker:
         l = {**{c: None for c in schema_cols}, **rec_l, uid: "l"}
         r = {**{c: None for c in schema_cols}, **rec_r, uid: "r"}
         two = self.spark.createDataFrame([l, r], self._input.schema)
-        two, _ = join_tf_columns(two, self.settings, self._tf_tables or None)
+        two, _ = join_tf_columns(two, self.settings,
+                                 self._ensure_tf_tables() or None)
         pairs = self.spark.createDataFrame(
             [("0", "l", "r")], "match_key string, unique_id_l string, unique_id_r string"
         )

@@ -102,3 +102,25 @@ def test_estimate_lambda_and_count_comparisons(spark, repo_nodes, basic_settings
     exact_pairs = linker.count_comparisons(block_on("content_sha"))
     expected = (exact_pairs / 0.9) / (n * (n - 1) / 2)
     assert abs(lam - expected) < 1e-9
+
+
+def test_find_matches_tf_from_node_table_after_resume(spark, repo_nodes,
+                                                      basic_settings, tmp_path):
+    """TF dims for realtime scoring must come from the full node table even
+    when the nodes stage resumed from checkpoint (regression)."""
+    from dataclasses import replace
+
+    s = replace(basic_settings, tf_columns=("lang",))
+    ckpt = str(tmp_path / "ck")
+    l1 = SparkLinker(spark, repo_nodes, s, checkpoint_dir=ckpt,
+                     enable_checkpoints=True)
+    l1.nodes().count()  # materialize checkpoint
+    l2 = SparkLinker(spark, repo_nodes, s, checkpoint_dir=ckpt,
+                     enable_checkpoints=True)
+    l2.nodes()  # resume -> _tf_tables empty
+    new = repo_nodes.limit(1).withColumn(
+        "unique_id", F.concat(F.col("unique_id"), F.lit("_n"))).drop("tf_lang")
+    tf = l2._ensure_tf_tables()["lang"]
+    full_counts = {r["lang"]: r["tf_lang"] for r in tf.collect()}
+    # counts reflect the FULL node table, not the 1-row frame
+    assert max(full_counts.values()) > 1
