@@ -99,3 +99,24 @@ def test_udfs_run_in_spark(spark):
     }
     assert abs(got[("martha", "marhta")] - 0.9611111111111111) < 1e-12
     assert got[("abc", "abc")] == 1.0
+
+
+def test_jaro_winkler_hypothesis_property():
+    """Property-based fuzz (hypothesis): arbitrary unicode text pairs must
+    match DuckDB bit-for-bit."""
+    import duckdb
+    from hypothesis import given, settings as hsettings, strategies as st
+
+    con = duckdb.connect()
+
+    @hsettings(max_examples=300, deadline=None)
+    @given(st.text(max_size=24), st.text(max_size=24))
+    def check(a, b):
+        if "\x00" in a or "\x00" in b:
+            return  # NUL bytes are not representable in duckdb varchars
+        got = jaro_winkler_np(pd.Series([a]), pd.Series([b]))[0]
+        want = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+        assert abs(got - want) < 1e-12, (a, b, got, want)
+
+    check()
