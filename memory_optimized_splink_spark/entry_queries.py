@@ -67,18 +67,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def repo_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic repo-file-shaped derivation with REAL entity structure:
+    docs in the same doc_id//5 group share identical content when
+    doc_id%5 <= 2 (exact-duplicate cliques, the ground-truth entities),
+    and the repo key is coarse enough (7 x 23 = 161 keys) that blocks hold
+    several rows at every sf — so blocking/gamma/predict/cluster queries
+    exercise non-empty, non-trivial result sets even at 500 docs."""
     d = load(spark, sf_dir, "documents")
+    entity = (F.col("doc_id") - (F.col("doc_id") % 5)).cast("long")
     return d.select(
         "doc_id", "lang", "source",
         F.concat(F.lit("org"), (F.col("doc_id") % 7).cast("string"),
-                 F.lit("/repo"), (F.col("doc_id") % 101).cast("string")
+                 F.lit("/repo"), (F.col("doc_id") % 23).cast("string")
                  ).alias("repo"),
         F.concat(F.lit("src/"), F.col("source"), F.lit("/doc"),
                  (F.col("doc_id") % 997).cast("string"), F.lit("."),
                  F.col("lang")).alias("path"),
         F.sha2(F.concat(F.lit("c"), F.col("doc_id").cast("string")), 256)
         .substr(1, 40).alias("commit"),
-        F.col("text").alias("content"),
+        F.when(F.col("doc_id") % 5 <= 2,
+               F.concat(F.lit("content-"), entity.cast("string")))
+        .otherwise(F.col("text")).alias("content"),
     )
 
 
@@ -90,11 +99,13 @@ RF_CTE = """
 rf AS (
   SELECT doc_id, lang, source,
     'org' || CAST(doc_id % 7 AS VARCHAR) || '/repo'
-          || CAST(doc_id % 101 AS VARCHAR) AS repo,
+          || CAST(doc_id % 23 AS VARCHAR) AS repo,
     'src/' || source || '/doc' || CAST(doc_id % 997 AS VARCHAR)
            || '.' || lang AS path,
     substr(sha256('c' || CAST(doc_id AS VARCHAR)), 1, 40) AS commit,
-    text AS content
+    CASE WHEN doc_id % 5 <= 2
+         THEN 'content-' || CAST(doc_id - (doc_id % 5) AS VARCHAR)
+         ELSE text END AS content
   FROM documents
 ),
 nodes AS (
