@@ -363,8 +363,9 @@ def q_largest_blocks(spark, sf_dir):
    f"""WITH {PAIRS_CTE},
 per AS (SELECT match_key, COUNT(*) AS row_count FROM pairs GROUP BY match_key)
 SELECT match_key, row_count,
-  SUM(row_count) OVER (ORDER BY match_key
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_rows
+  CAST(SUM(row_count) OVER (ORDER BY match_key
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cumulative_rows
 FROM per""")
 def q_cumulative_comparisons(spark, sf_dir):
     pairs, _, _ = _spark_pairs(spark, sf_dir)
@@ -375,18 +376,48 @@ def q_cumulative_comparisons(spark, sf_dir):
                       F.sum("row_count").over(w).alias("cumulative_rows"))
 
 
-# --- §2.10: clustering (iterative CC — not single-query SQL; rows-only) ------
+# --- §2.10: clustering --------------------------------------------------------
+# The Spark side is the iterative large-star/small-star CC; the DuckDB oracle
+# is a WITH RECURSIVE transitive-closure min-label propagation (feasible at
+# sf<=0.01 scale). Cluster ids are the fork's deterministic
+# md5(sorted member list) (connected_components.py:504-518), so the hash
+# compare checks the full membership partition, not just row counts.
 
-@q("cluster_membership")  # no oracle: iterative fixpoint, not ANSI-SQL
+CC_CTES = PREDICT_CTE + """,
+cc_edges AS (
+  SELECT unique_id_l AS src, unique_id_r AS dst FROM predictions
+  WHERE match_probability >= 0.9
+),
+cc_und AS (SELECT src, dst FROM cc_edges UNION SELECT dst, src FROM cc_edges),
+cc_walk(node_id, label) AS (
+  SELECT unique_id, unique_id FROM nodes
+  UNION
+  SELECT u.dst, w.label FROM cc_walk w JOIN cc_und u ON u.src = w.node_id
+),
+cc_labels AS (SELECT node_id, MIN(label) AS rep FROM cc_walk GROUP BY node_id),
+cc_md5 AS (
+  SELECT rep, md5(string_agg(node_id, ',' ORDER BY node_id)) AS cluster_id
+  FROM cc_labels GROUP BY rep
+),
+cc_member AS (
+  SELECT l.node_id, m.cluster_id FROM cc_labels l JOIN cc_md5 m USING (rep)
+)
+"""
+
+
+@q("cluster_membership",
+   f"WITH RECURSIVE {CC_CTES} SELECT node_id, cluster_id FROM cc_member")
 def q_cluster_membership(spark, sf_dir):
     pred = _spark_predict(spark, sf_dir)
     nodes = nodes_df(spark, sf_dir)
     edges = pred.where(F.col("match_probability") >= 0.9) \
         .select("unique_id_l", "unique_id_r")
-    return solve_connected_components(nodes, edges)
+    return solve_connected_components(nodes, edges, with_md5_ids=True)
 
 
-@q("cluster_sizes")  # no oracle (depends on CC)
+@q("cluster_sizes",
+   f"""WITH RECURSIVE {CC_CTES}
+SELECT cluster_id, COUNT(*) AS n_members FROM cc_member GROUP BY cluster_id""")
 def q_cluster_sizes(spark, sf_dir):
     from .operators.cluster import cluster_sizes
     return cluster_sizes(q_cluster_membership(spark, sf_dir))
@@ -503,7 +534,7 @@ list_distinct([substring({col}, i, 3)
    f"""WITH {RF_CTE},
 cand AS (
   SELECT l.doc_id AS id_l, r.doc_id AS id_r,
-         l.path AS path_l, r.path AS path_r
+         lower(l.path) AS path_l, lower(r.path) AS path_r
   FROM nodes l JOIN nodes r ON l.repo = r.repo AND l.doc_id < r.doc_id
 ),
 j AS (
@@ -514,7 +545,7 @@ j AS (
                  || {_NGJ_DUCK.format(col="path_r")})), 1), 6) AS jaccard
   FROM cand
 )
-SELECT id_l, id_r, jaccard FROM j WHERE jaccard >= 0.6""")
+SELECT id_l, id_r, jaccard FROM j WHERE jaccard >= 0.3101""")
 def q_ngram_jaccard(spark, sf_dir):
     from .operators.dedup import ngram_jaccard
     nodes = nodes_df(spark, sf_dir)
@@ -527,7 +558,38 @@ def q_ngram_jaccard(spark, sf_dir):
         "id_l", "id_r",
         F.round(ngram_jaccard(F.lower(F.col("path_l")),
                               F.lower(F.col("path_r")), 3), 6).alias("jaccard"))
-    return out.where(F.col("jaccard") >= 0.6)
+    # 0.3101: non-vacuous at sf0.01 (~117 rows; max observed jaccard ~0.43)
+    # and not equal to any small-denominator shingle-count rational.
+    return out.where(F.col("jaccard") >= 0.3101)
+
+
+# --- unrestricted Damerau-Levenshtein (level kernel vs DuckDB builtin) --------
+
+@q("damerau_levenshtein_pairs",
+   f"""WITH {RF_CTE},
+cand AS (
+  SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+         l.path AS path_l, r.path AS path_r
+  FROM nodes l JOIN nodes r ON l.repo = r.repo AND l.doc_id < r.doc_id
+)
+SELECT id_l, id_r,
+       CAST(damerau_levenshtein(path_l, path_r) AS BIGINT) AS dl
+FROM cand""")
+def q_damerau_levenshtein(spark, sf_dir):
+    """Unrestricted DL kernel (functions/similarity.py) vs DuckDB's
+    damerau_levenshtein — the reference registers the same function as a
+    Scala UDF (spark/jar_location.py:64-71)."""
+    from .functions.similarity import damerau_levenshtein_udf
+    nodes = nodes_df(spark, sf_dir)
+    l = nodes.select(F.col("doc_id").alias("id_l"), F.col("repo"),
+                     F.col("path").alias("path_l"))
+    r = nodes.select(F.col("doc_id").alias("id_r"), F.col("repo"),
+                     F.col("path").alias("path_r"))
+    cand = l.join(r, on="repo").where(F.col("id_l") < F.col("id_r"))
+    return cand.select(
+        "id_l", "id_r",
+        damerau_levenshtein_udf(F.col("path_l"), F.col("path_r"))
+        .cast("long").alias("dl"))
 
 
 # --- minhash LSH with the cross-engine poly31 hash ---------------------------
@@ -558,7 +620,9 @@ def _mh_signature_col(col: Column) -> Column:
     ])
 
 
-def _duck_mh_sql() -> str:
+def _duck_mh_ctes(src: str = "documents") -> str:
+    """CTE fragment computing poly31 minhash LSH candidate pairs over
+    `src(doc_id, text)`: defines mh_hs, mh_sigs, mh_banded, mh_cand."""
     rows = _MH_NUM // _MH_BANDS
     sh = ("list_distinct([substring(lower(text), i, %d) for i in "
           "range(1, greatest(length(text) - %d, 1) + 1)])"
@@ -574,22 +638,30 @@ def _duck_mh_sql() -> str:
         f"""SELECT doc_id, {b} AS band_id,
            list_reduce([CAST(0 AS BIGINT)] || list_slice(sig, {b * rows + 1},
                        {b * rows + rows}), (acc, x) -> (acc * 31 + x) % {P31})
-           AS band_hash FROM sigs"""
+           AS band_hash FROM mh_sigs"""
         for b in range(_MH_BANDS))
-    return f"""WITH hs AS (SELECT doc_id, {h} AS h FROM documents),
-sigs AS (SELECT doc_id, [{sig_elems}] AS sig FROM hs),
-banded AS ({band_rows})
-SELECT l.doc_id AS id_l, r.doc_id AS id_r,
-       COUNT(*) AS n_common_bands
-FROM banded l JOIN banded r
-  ON l.band_id = r.band_id AND l.band_hash = r.band_hash
- AND l.doc_id < r.doc_id
-GROUP BY 1, 2"""
+    return f"""mh_hs AS (SELECT doc_id, {h} AS h FROM {src}),
+mh_sigs AS (SELECT doc_id, [{sig_elems}] AS sig FROM mh_hs),
+mh_banded AS ({band_rows}),
+mh_cand AS (
+  SELECT l.doc_id AS id_l, r.doc_id AS id_r, COUNT(*) AS n_common_bands
+  FROM mh_banded l JOIN mh_banded r
+    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+   AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)"""
 
 
-@q("minhash_lsh_pairs", _duck_mh_sql())
-def q_minhash_lsh(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+def _duck_mh_sql() -> str:
+    return (f"WITH {_duck_mh_ctes('documents')} "
+            "SELECT id_l, id_r, n_common_bands FROM mh_cand")
+
+
+def _poly31_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Cross-engine MinHash-LSH candidates over (doc_id, text) using the
+    poly31 hash family (bit-identical to the DuckDB oracle by construction).
+    Production code uses operators/dedup.py's xxhash64 path; this variant
+    exists so the LSH pipeline is oracle-checkable end to end."""
     rows = _MH_NUM // _MH_BANDS
     # explode shingles to rows so the poly31 fold runs over <=4 chars per
     # row (higher-order lambdas are interpreted; keep them tiny)
@@ -623,6 +695,11 @@ def q_minhash_lsh(spark, sf_dir):
             .groupBy(F.col("l.doc_id").alias("id_l"),
                      F.col("r.doc_id").alias("id_r"))
             .agg(F.count(F.lit(1)).alias("n_common_bands")))
+
+
+@q("minhash_lsh_pairs", _duck_mh_sql())
+def q_minhash_lsh(spark, sf_dir):
+    return _poly31_lsh_pairs(load(spark, sf_dir, "documents"))
 
 
 # --- simhash (poly31, 32-bit) ------------------------------------------------
@@ -862,9 +939,31 @@ def q_completeness(spark, sf_dir):
                       F.round("completeness", 6).alias("completeness"))
 
 
-# --- graph metrics over predicted edges (depends on CC: rows-only) -----------
+# --- graph metrics over predicted edges (graph_metrics.py:257-312) -----------
 
-@q("cluster_graph_metrics")
+@q("cluster_graph_metrics",
+   f"""WITH RECURSIVE {CC_CTES},
+deg AS (
+  SELECT node_id, COUNT(*) AS d FROM (
+    SELECT src AS node_id FROM cc_edges
+    UNION ALL SELECT dst FROM cc_edges
+  ) GROUP BY node_id
+),
+nm AS (
+  SELECT m.node_id, m.cluster_id, COALESCE(deg.d, 0) AS d
+  FROM cc_member m LEFT JOIN deg USING (node_id)
+)
+SELECT cluster_id,
+  COUNT(*) AS n_nodes,
+  CAST(SUM(d) AS DOUBLE) / 2.0 AS n_edges,
+  CASE WHEN COUNT(*) > 1 THEN
+    ROUND(CAST(SUM(d) AS DOUBLE) / (COUNT(*) * (COUNT(*) - 1)), 6)
+  END AS density,
+  CASE WHEN COUNT(*) > 2 THEN
+    ROUND(CAST(COUNT(*) * MAX(d) - SUM(d) AS DOUBLE)
+          / ((COUNT(*) - 1) * (COUNT(*) - 2)), 6)
+  END AS cluster_centralisation
+FROM nm GROUP BY cluster_id""")
 def q_cluster_graph_metrics(spark, sf_dir):
     from .operators.cluster import graph_metrics
     pred = _spark_predict(spark, sf_dir)
@@ -872,23 +971,91 @@ def q_cluster_graph_metrics(spark, sf_dir):
         .select("unique_id_l", "unique_id_r")
     member = q_cluster_membership(spark, sf_dir)
     _, cluster_metrics = graph_metrics(member, edges)
-    return cluster_metrics
+    return cluster_metrics.select(
+        "cluster_id", "n_nodes",
+        F.col("n_edges").cast("double").alias("n_edges"),
+        F.round("density", 6).alias("density"),
+        F.round("cluster_centralisation", 6).alias("cluster_centralisation"))
 
 
-# --- winnowing fingerprint (xxhash64-based: rows-only) ------------------------
+# --- winnowing fingerprint ----------------------------------------------------
+# Production path is xxhash64 (functions/text.py:fingerprint64); the entry
+# query uses the poly31 variant so DuckDB can replicate it bit-for-bit
+# (xor of distinct rolling-window minima over token hashes).
 
-@q("fingerprints")
+_FP_WINDOW = 8
+_FP_TOKS = ("list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            "x -> x <> '')")
+_FP_HASHES = (f"list_transform({_FP_TOKS}, t -> list_reduce("
+              "[CAST(0 AS BIGINT)] || list_transform(string_split(t, ''), "
+              f"c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc * 31 + x) % {P31}))")
+
+
+@q("fingerprints",
+   f"""WITH t AS (SELECT doc_id, {_FP_HASHES} AS h FROM documents),
+w AS (
+  SELECT doc_id,
+    list_distinct([list_aggregate(h[i:i+{_FP_WINDOW - 1}], 'min')
+                   for i in range(1, greatest(len(h) - {_FP_WINDOW - 1}, 1) + 1)])
+    AS sel
+  FROM t
+)
+SELECT doc_id,
+  COALESCE(list_reduce([CAST(0 AS BIGINT)] || sel, (a, b) -> xor(a, b)),
+           CAST(0 AS BIGINT)) AS fingerprint
+FROM w""")
 def q_fingerprints(spark, sf_dir):
-    from .functions.text import fingerprint64
+    from .functions.text import fingerprint_poly31
     return load(spark, sf_dir, "documents").select(
-        "doc_id", fingerprint64(F.col("text")).alias("fingerprint"))
+        "doc_id",
+        fingerprint_poly31(F.col("text"), window=_FP_WINDOW)
+        .alias("fingerprint"))
 
 
-# --- near-dedup pipeline (rows-only: CC inside) --------------------------------
+# --- near-dedup pipeline (exact -> LSH -> verify -> CC -> fan-out) -------------
 
-@q("near_dedup_documents")
+_ND_SH = ("list_distinct([substring(lower({c}), i, %d) for i in "
+          "range(1, greatest(length({c}) - %d, 1) + 1)])"
+          % (_MH_K, _MH_K - 1))
+
+
+def _duck_near_dedup_sql(threshold: float = 0.8) -> str:
+    shl, shr = _ND_SH.format(c="l.text"), _ND_SH.format(c="r.text")
+    return f"""WITH RECURSIVE
+ex AS (SELECT doc_id, sha256(text) AS g FROM documents),
+nd_reps AS (SELECT MIN(doc_id) AS rep_id, g FROM ex GROUP BY g),
+rdocs AS (SELECT d.doc_id, d.text FROM documents d
+          JOIN nd_reps ON nd_reps.rep_id = d.doc_id),
+{_duck_mh_ctes("rdocs")},
+ver AS (
+  SELECT id_l, id_r FROM mh_cand c
+  JOIN rdocs l ON l.doc_id = c.id_l JOIN rdocs r ON r.doc_id = c.id_r
+  WHERE CAST(len(list_intersect({shl}, {shr})) AS DOUBLE)
+        / GREATEST(len(list_distinct({shl} || {shr})), 1) >= {threshold}
+),
+nd_und AS (SELECT id_l AS src, id_r AS dst FROM ver
+           UNION SELECT id_r, id_l FROM ver),
+nd_walk(node_id, label) AS (
+  SELECT rep_id, rep_id FROM nd_reps
+  UNION
+  SELECT u.dst, w.label FROM nd_walk w JOIN nd_und u ON u.src = w.node_id
+),
+nd_labels AS (SELECT node_id, MIN(label) AS cc FROM nd_walk GROUP BY node_id),
+fan AS (
+  SELECT e.doc_id, l.cc
+  FROM ex e JOIN nd_reps r ON e.g = r.g
+  JOIN nd_labels l ON l.node_id = r.rep_id
+)
+SELECT doc_id,
+  MIN(doc_id) OVER (PARTITION BY cc) AS dup_cluster_id,
+  MIN(doc_id) OVER (PARTITION BY cc) = doc_id AS is_canonical
+FROM fan"""
+
+
+@q("near_dedup_documents", _duck_near_dedup_sql(0.8))
 def q_near_dedup(spark, sf_dir):
     from .operators.dedup import near_dedup_documents
     return near_dedup_documents(
         load(spark, sf_dir, "documents"), "doc_id", "text",
-        jaccard_threshold=0.8)
+        jaccard_threshold=0.8, shingle_k=_MH_K,
+        candidate_fn=_poly31_lsh_pairs)

@@ -153,20 +153,18 @@ def jaro_winkler_np(s1: pd.Series, s2: pd.Series,
     return out
 
 
-def _edit_distance_block(a, la, b, lb, damerau: bool) -> np.ndarray:
-    """(Damerau-)Levenshtein, vectorized over rows; loops over i (chars of a)
+def _levenshtein_block(a, la, b, lb) -> np.ndarray:
+    """Levenshtein, vectorized over rows; loops over i (chars of a)
     with the prefix-min trick resolving the in-row left dependency:
       D[i,j] = min(cand[j], min_{k<j}(cand[k] + (j-k)))
              = min.accumulate(cand - j)[j] + j   where cand folds the
-      delete/substitute(/transpose) candidates.
+      delete/substitute candidates.
     """
     n, L = a.shape
     Lb = b.shape[1]
     js = np.arange(Lb + 1, dtype=np.float64)
     prev = np.tile(js, (n, 1))  # D[0, :] = j
-    prev2 = None
     imax = int(la.max(initial=0))
-    INF = 1e9
     for i in range(1, imax + 1):
         ai = a[:, i - 1]  # (n,)
         active = (i <= la)
@@ -175,36 +173,97 @@ def _edit_distance_block(a, la, b, lb, damerau: bool) -> np.ndarray:
         cand[:, 0] = i  # first column: i deletions
         # delete (from above) vs substitute (diag)
         cand[:, 1:] = np.minimum(prev[:, 1:] + 1.0, prev[:, :-1] + sub_cost)
-        if damerau and prev2 is not None and i >= 2:
-            # transpose: a[i-2]==b[j-1] and a[i-1]==b[j-2] -> prev2[j-2]+1
-            tr = np.full((n, Lb + 1), INF)
-            if Lb >= 2:
-                ok = (b[:, 1:] == a[:, i - 2][:, None]) & (
-                    b[:, :-1] == ai[:, None]
-                )
-                tr[:, 2:] = np.where(ok, prev2[:, :-2] + 1.0, INF)
-            cand = np.minimum(cand, tr)
         # resolve left-neighbor (insert) dependency via prefix-min
         shifted = cand - js[None, :]
         run = np.minimum.accumulate(shifted, axis=1)
         cur = np.minimum(cand, run + js[None, :])
         # mask invalid b positions beyond lb: distance only read at j=lb
-        prev2 = prev
         prev = np.where(active[:, None], cur, prev)
     return prev[np.arange(n), lb].astype(np.int64)
 
 
+def _dl_unrestricted_block(a, la, b, lb) -> np.ndarray:
+    """UNRESTRICTED Damerau-Levenshtein (DuckDB's damerau_levenshtein and
+    the reference's Scala UDF semantics — transposed characters may take
+    part in further edits, unlike OSA: dl("ca","abc")=2, osa=3).
+
+    Classic last-occurrence formulation (Lowrance-Wagner), row-vectorized:
+    the full (n, La+2, Lb+2) D tensor is kept because the transposition
+    candidate D[k,l] reaches back to arbitrary earlier rows. `da` (last row
+    where each alphabet symbol occurred in a) is a per-row table over the
+    batch's compacted alphabet; `db` (last column matching a[i] within the
+    current row) vectorizes as a running maximum over match positions. The
+    insert-chain dependency resolves with the same prefix-min trick as
+    Levenshtein.
+    """
+    n, La = a.shape
+    Lb = b.shape[1]
+    rows = np.arange(n)
+    # compact alphabet; index 0 reserved for padding
+    alphabet = np.unique(np.concatenate([a.ravel(), b.ravel()]))
+    alphabet = alphabet[alphabet >= 0]
+    a_idx = np.where(a >= 0, np.searchsorted(alphabet, np.clip(a, 0, None)) + 1, 0)
+    b_idx = np.where(b >= 0, np.searchsorted(alphabet, np.clip(b, 0, None)) + 1, 0)
+    maxdist = (la + lb).astype(np.float64)
+
+    d = np.zeros((n, La + 2, Lb + 2), dtype=np.float64)
+    d[:, 0, :] = maxdist[:, None]
+    d[:, :, 0] = maxdist[:, None]
+    d[:, 1, 1:] = np.arange(Lb + 1, dtype=np.float64)[None, :]   # d[1][j+1]=j
+    d[:, 1:, 1] = np.arange(La + 1, dtype=np.float64)[None, :]   # d[i+1][1]=i
+
+    da = np.zeros((n, len(alphabet) + 1), dtype=np.int64)
+    js = np.arange(1, Lb + 1, dtype=np.float64)   # j = 1..Lb
+    Jfull = np.arange(Lb + 2, dtype=np.float64)   # column index J = j+1
+    imax = int(la.max(initial=0))
+    for i in range(1, imax + 1):
+        active = i <= la
+        ai = a_idx[:, i - 1]  # (n,) 0 for padding (inactive rows)
+        cost = (b_idx != ai[:, None]).astype(np.float64)  # (n, Lb)
+        # l = db just before j: last j' < j with b[j'] == a[i]
+        match_pos = np.where(b_idx == ai[:, None], np.arange(1, Lb + 1), 0)
+        incl = np.maximum.accumulate(match_pos, axis=1)
+        l = np.concatenate([np.zeros((n, 1), dtype=np.int64), incl[:, :-1]],
+                           axis=1)  # (n, Lb)
+        k = da[rows[:, None], b_idx]  # (n, Lb) last row where b[j] seen in a
+        trans = (d[rows[:, None], k, l]
+                 + (i - k - 1) + 1.0 + (js[None, :] - l - 1))
+        diag = d[:, i, 1:Lb + 1] + cost    # d[i-1][j-1] -> mine[i][j] + cost
+        up = d[:, i, 2:Lb + 2] + 1.0       # d[i][j+1] + 1
+        cand = np.empty((n, Lb + 2), dtype=np.float64)
+        cand[:, 0] = maxdist
+        cand[:, 1] = i                     # d[i+1][1] = i
+        cand[:, 2:] = np.minimum(np.minimum(diag, up), trans)
+        # left/insert chain: cur[J] = min(cand[J], min_{J'<J} cur[J'] + J-J')
+        shifted = cand - Jfull[None, :]
+        run = np.minimum.accumulate(shifted, axis=1)
+        cur = np.minimum(cand, run + Jfull[None, :])
+        d[:, i + 1, :] = np.where(active[:, None], cur, d[:, i + 1, :])
+        da[rows[active], ai[active]] = i
+    return d[rows, la + 1, lb + 1].astype(np.int64)
+
+
+# the full-D-tensor DL kernel is O(chunk * L^2) memory: bound both
+_DL_LMAX = 128
+_DL_CHUNK = 512
+
+
 def edit_distance_np(s1: pd.Series, s2: pd.Series, damerau: bool) -> np.ndarray:
     out = np.empty(len(s1), dtype=np.int64)
-    for lo in range(0, len(s1), _CHUNK):
-        hi = min(lo + _CHUNK, len(s1))
-        a, la = _codes(s1.iloc[lo:hi], _LMAX)
-        b, lb = _codes(s2.iloc[lo:hi], _LMAX)
+    chunk = _DL_CHUNK if damerau else _CHUNK
+    lmax = _DL_LMAX if damerau else _LMAX
+    for lo in range(0, len(s1), chunk):
+        hi = min(lo + chunk, len(s1))
+        a, la = _codes(s1.iloc[lo:hi], lmax)
+        b, lb = _codes(s2.iloc[lo:hi], lmax)
         lmax_a = max(int(la.max(initial=0)), 1)
         lmax_b = max(int(lb.max(initial=0)), 1)
-        out[lo:hi] = _edit_distance_block(
-            a[:, :lmax_a], la, b[:, :lmax_b], lb, damerau
-        )
+        if damerau:
+            out[lo:hi] = _dl_unrestricted_block(
+                a[:, :lmax_a], la, b[:, :lmax_b], lb)
+        else:
+            out[lo:hi] = _levenshtein_block(
+                a[:, :lmax_a], la, b[:, :lmax_b], lb)
     return out
 
 

@@ -106,6 +106,37 @@ def quality_score(col: Column) -> Column:
     return (total / F.lit(float(len(gates)))).alias("quality_score")
 
 
+def poly31_hash(col: Column, modulus: int = 2147483647) -> Column:
+    """Rolling polynomial hash (acc*31 + ascii(c)) mod 2^31-1 — the
+    cross-engine hash family (identical in DuckDB via list_reduce). Per-char
+    interpreted lambda: use only on SHORT strings (tokens/shingles) or in
+    oracle-check paths; production hashing is codegen'd xxhash64."""
+    chars = F.filter(F.split(col, ""), lambda c: c != F.lit(""))
+    return F.aggregate(
+        chars, F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + F.ascii(c)) % F.lit(modulus))
+
+
+def fingerprint_poly31(col: Column, window: int = 8) -> Column:
+    """fingerprint64 with poly31 token hashes instead of xxhash64 — same
+    winnowing structure, reproducible in DuckDB for oracle checks."""
+    toks = tokens(col)
+    # NB: transform passes (element, index); pin the 1-arg form
+    hashes = F.transform(toks, lambda t: poly31_hash(t))
+    n = F.size(hashes)
+    n_win = F.greatest(n - F.lit(window - 1), F.lit(1))
+    window_mins = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.array_min(F.slice(hashes, i, F.lit(window))),
+    )
+    selected = F.array_distinct(window_mins)
+    return F.coalesce(
+        F.aggregate(selected, F.lit(0).cast("long"),
+                    lambda acc, h: acc.bitwiseXOR(h)),
+        F.lit(0).cast("long"),
+    )
+
+
 def fingerprint64(col: Column, window: int = 8) -> Column:
     """Document fingerprint: xor of rolling-window token-hash minima
     (winnowing-style). One BIGINT per doc; equal fingerprints => very likely

@@ -49,10 +49,33 @@ class SparkLinker:
         )
         self._nodes: DataFrame | None = None
         self._tf_tables: dict[str, DataFrame] = {}
+        self._input_fp: dict | None = None
+        self._n_records_cache: dict | None = None
 
     # ------------------------------------------------------------- stages
+    def _input_identity(self) -> dict | None:
+        """Fingerprint of the INPUT DATA for checkpoint keys: schema +
+        row count + a content hash of the unique-id column. Without this,
+        rerunning with a different --input but identical settings would
+        silently resume the previous input's cached stages."""
+        if not self.registry.enabled:
+            return None
+        if self._input_fp is None:
+            schema = [f"{f.name}:{f.dataType.simpleString()}"
+                      for f in self._input.schema.fields]
+            uid = self.settings.unique_id_column_name
+            aggs = [F.count(F.lit(1)).alias("n")]
+            if uid in self._input.columns:
+                aggs.append(F.coalesce(
+                    F.expr(f"bit_xor(xxhash64({uid}))"), F.lit(0)).alias("h"))
+            row = self._input.agg(*aggs).collect()[0]
+            self._input_fp = {"schema": schema, "n": row["n"],
+                              "h": row["h"] if uid in self._input.columns else None}
+        return self._input_fp
+
     def _config(self, **extra) -> dict:
-        return {"settings": self.settings.to_json(), **extra}
+        return {"settings": self.settings.to_json(),
+                "input": self._input_identity(), **extra}
 
     def nodes(self) -> DataFrame:
         if self._nodes is None:
@@ -87,20 +110,7 @@ class SparkLinker:
         threshold_match_weight: float | None = None,
     ) -> DataFrame:
         cv = self.comparison_vectors()
-        n_records = None
-        tf_cols = {
-            (lv.column or c.column)
-            for c in self.settings.comparisons
-            for lv in c.levels if lv.tf_adjustment
-        }
-        if self.settings.tf_array_columns or tf_cols:
-            nodes = self.nodes()
-            # per-field non-null counts (the fork's total_records_in_field)
-            n_records = {
-                col: nodes.where(F.col(col).isNotNull()).count()
-                for col in tf_cols
-            }
-            n_records["__total__"] = nodes.count()
+        n_records = self._n_records()
 
         def build():
             cv2 = cv
@@ -193,6 +203,13 @@ class SparkLinker:
             self.settings, probability_two_random_records_match=lam)
         return self
 
+    def estimate_m_from_label_column(self, label_column: str) -> "SparkLinker":
+        """m from a ground-truth label column
+        (linker_components/training.py:353)."""
+        self.settings = train_mod.estimate_m_from_label_column(
+            self.nodes(), self.settings, label_column)
+        return self
+
     def count_comparisons(self, rule) -> int:
         """Comparison count a blocking rule would generate
         (blocking_analysis.count_comparisons_from_blocking_rule)."""
@@ -208,6 +225,27 @@ class SparkLinker:
         for h in history:
             self.metrics.log(stage="em", **h)
         return history
+
+    def _n_records(self) -> dict | None:
+        """Per-field non-null counts (the fork's `total_records_in_field`,
+        comparison_level.py:30-42) + "__total__". Shared by batch predict()
+        and the realtime entry points so TF-adjusted weights are identical
+        in both paths (a scalar total diverges whenever a TF column has
+        nulls)."""
+        tf_cols = {
+            (lv.column or c.column)
+            for c in self.settings.comparisons
+            for lv in c.levels if lv.tf_adjustment
+        }
+        if not (self.settings.tf_array_columns or tf_cols):
+            return None
+        if self._n_records_cache is None:
+            nodes = self.nodes()
+            d = {col: nodes.where(F.col(col).isNotNull()).count()
+                 for col in tf_cols}
+            d["__total__"] = nodes.count()
+            self._n_records_cache = d
+        return self._n_records_cache
 
     def _ensure_tf_tables(self) -> dict:
         """TF dims must come from the FULL node table (term_frequencies.py
@@ -244,7 +282,7 @@ class SparkLinker:
         cv = cv.where(F.col("_ds_l") + F.col("_ds_r") == 1).drop("_ds_l", "_ds_r")
         return predict_op(
             cv, self.settings,
-            n_records=nodes.count() if self.settings.tf_columns else None,
+            n_records=self._n_records(),
             threshold_match_probability=threshold_match_probability,
         )
 
@@ -261,9 +299,7 @@ class SparkLinker:
             [("0", "l", "r")], "match_key string, unique_id_l string, unique_id_r string"
         )
         cv = compute_comparison_vectors(pairs, two, self.settings)
-        return predict_op(cv, self.settings,
-                          n_records=self.nodes().count()
-                          if self.settings.tf_columns else None)
+        return predict_op(cv, self.settings, n_records=self._n_records())
 
     def unlinkables(self) -> DataFrame:
         """Self-link score distribution (linker.py:505-564 / unlinkables.py):
@@ -279,11 +315,35 @@ class SparkLinker:
             F.col(uid).alias("unique_id_r"),
         )
         cv = compute_comparison_vectors(pairs, nodes, self.settings)
-        self_pred = predict_op(
-            cv, self.settings,
-            n_records=nodes.count() if self.settings.tf_columns else None,
-        )
+        self_pred = predict_op(cv, self.settings, n_records=self._n_records())
         return unlinkables_data(self_pred)
+
+    # -------------------------------------------------------- chart data
+    def match_weights_chart_data(self) -> list[dict]:
+        from .charts import match_weights_chart_data
+        return match_weights_chart_data(self.settings)
+
+    def m_u_parameters_chart_data(self) -> list[dict]:
+        from .charts import m_u_parameters_chart_data
+        return m_u_parameters_chart_data(self.settings)
+
+    def waterfall_chart_data(self, limit: int = 10) -> list[list[dict]]:
+        """Per-pair Bayes-factor decomposition records
+        (waterfall_chart.py:141-155) for the top-weight predicted pairs."""
+        from .charts import waterfall_chart_data
+
+        cv = self.comparison_vectors()
+        pred = predict_op(cv, self.settings, n_records=self._n_records(),
+                          keep_bf_columns=True)
+        rows = [r.asDict() for r in
+                pred.orderBy(F.desc("match_weight")).limit(limit).collect()]
+        return waterfall_chart_data(rows, self.settings)
+
+    def comparison_viewer_data(self, example_rows_per_pattern: int = 2
+                               ) -> DataFrame:
+        from .charts import comparison_viewer_data
+        return comparison_viewer_data(self.predict(), self.settings,
+                                      example_rows_per_pattern)
 
     # ---------------------------------------------------------- evaluation
     def truth_space(self, labels: DataFrame) -> DataFrame:

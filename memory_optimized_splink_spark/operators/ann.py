@@ -17,6 +17,7 @@ fit uses numpy on a bounded sample only.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -55,10 +56,15 @@ def brute_force_topk(
 def fit_centroids(corpus: DataFrame, vec_col: str = "embedding",
                   n_centroids: int = 16, sample: int = 4096, seed: int = 42,
                   iters: int = 8) -> np.ndarray:
-    """k-means-lite on a deterministic sample (driver-side numpy)."""
+    """k-means-lite on a seeded `df.sample` (driver-side numpy). One cheap
+    count + a sampled scan — no full-corpus sort/hash (the previous
+    orderBy(xxhash64).limit was a corpus-wide TakeOrdered for the same
+    determinism)."""
+    n = corpus.count()
+    fraction = min(1.0, (2.0 * sample) / max(n, 1))
     rows = (
         corpus.select(F.col(vec_col).cast("array<double>"))
-        .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>").cast("string")))
+        .sample(fraction=fraction, seed=seed)
         .limit(sample).collect()
     )
     x = np.array([r[0] for r in rows])
@@ -73,19 +79,58 @@ def fit_centroids(corpus: DataFrame, vec_col: str = "embedding",
     return cent
 
 
+# literal expression trees are O(n_centroids x dim) plan nodes — fine for a
+# handful of centroids, quadratic plan bloat beyond this; larger codebooks
+# switch to an Arrow-batched numpy matmul whose matrix ships in the UDF
+# closure (data, not plan).
+_LITERAL_CENTROID_MAX = 64
+
+
 def _centroid_assign(vec: Column, centroids: np.ndarray,
                      n_probe: int = 1) -> Column:
-    """array of the n_probe nearest centroid ids (by cosine), native SQL."""
+    """array of the n_probe nearest centroid ids, native SQL expression
+    (small codebooks only). Ties break to the LOWER centroid id."""
     sims = F.array(*[
         _dot(vec, F.array(*[F.lit(float(v)) for v in c]))
         / F.greatest(_norm(vec), F.lit(1e-12))
         for c in centroids
     ])
     idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
-    pairs = F.zip_with(sims, idx,
-                       lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+    pairs = F.zip_with(
+        sims, idx,
+        lambda s, i: F.struct(s.alias("s"), (-i).alias("ni"), i.alias("i")))
     top = F.slice(F.reverse(F.array_sort(pairs)), 1, n_probe)
     return F.transform(top, lambda p: p["i"])
+
+
+def _centroid_assign_arrow(vec: Column, centroids: np.ndarray,
+                           n_probe: int = 1) -> Column:
+    """Scale path: vectorized numpy matmul in a pandas UDF; the codebook is
+    closure-captured (broadcast with the task, not inlined into the plan).
+    Same scores and tie-break (lower id) as the literal path."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    probes = int(n_probe)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _probe(v: pd.Series) -> pd.Series:
+        X = np.stack(
+            v.apply(lambda x: np.asarray(x, dtype=np.float64)).to_numpy())
+        norms = np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = (X @ C.T) / norms
+        # stable argsort on -sims: ties resolve to the lower centroid id
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :probes]
+        return pd.Series(list(order.astype("int32")))
+
+    return _probe(vec)
+
+
+def assign_centroids(vec: Column, centroids: np.ndarray, n_probe: int = 1
+                     ) -> Column:
+    if len(centroids) <= _LITERAL_CENTROID_MAX:
+        return _centroid_assign(vec, centroids, n_probe)
+    return _centroid_assign_arrow(vec, centroids, n_probe)
 
 
 def ivf_topk(
@@ -101,12 +146,12 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
-    ).withColumn("cid", _centroid_assign(F.col("_cv"), centroids, 1)[0])
+    ).withColumn("cid", assign_centroids(F.col("_cv"), centroids, 1)[0])
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
     ).withColumn("cid", F.explode(
-        _centroid_assign(F.col("_qv"), centroids, n_probe)))
+        assign_centroids(F.col("_qv"), centroids, n_probe)))
     scored = c.join(F.broadcast(q), on="cid").select(
         "query_id", "vec_id",
         cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine"),

@@ -7,11 +7,19 @@ the blocking key is content-derived.
 
 Scale design:
 - exact dedup is one hash groupBy on sha2(text) — no pair materialization.
-- MinHash signatures are computed in a single projection with native Spark
-  SQL higher-order functions (transform/aggregate over shingle hashes — no
-  Python in the loop); LSH banding turns near-dup search into an equi-join
-  on (band_id, band_hash), i.e. exactly the engine's repartition-by-key
-  blocking join, so it inherits hot-key handling and AQE skew splitting.
+- MinHash signatures are exploded to shingle rows and hashed with codegen'd
+  xxhash64, then min-aggregated (no Python, no interpreted array lambdas);
+  LSH banding turns near-dup search into an equi-join on
+  (band_id, band_hash).
+- every candidate-pair self-join (minhash bands, simhash bands, SRP
+  sketches) is guarded by an explicit BUCKET-SIZE CAP: bucket cardinalities
+  are counted first (one aggregate sharing the join's shuffle key), buckets
+  above `max_bucket_size` are dropped via a broadcast anti-join. Without the
+  cap one degenerate bucket (empty docs, boilerplate headers sharing a band
+  hash) emits O(n_bucket^2) pairs — at 100 TB a single 100k-doc bucket is
+  5x10^9 pairs from one key. Oversized buckets are near-certainly exact/
+  boilerplate duplicates, which the exact-sha pass already collapses;
+  dropping them is the standard recall/cost trade in web-scale dedup.
 - SimHash packs 64 per-bit majority votes into one BIGINT with bitwise
   aggregates; candidate pairs come from banding the 64 bits into 4x16-bit
   equi-join keys (Hamming distance <= 3 guaranteed recall within bands).
@@ -19,6 +27,8 @@ Scale design:
 """
 
 from __future__ import annotations
+
+from typing import Callable, Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -83,6 +93,29 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def cap_bucket_sizes(df: DataFrame, keys: list[str],
+                     max_bucket_size: Optional[int]) -> DataFrame:
+    """Drop rows whose bucket (group of `keys`) exceeds `max_bucket_size`.
+
+    The count aggregate shuffles on the same keys as the downstream
+    self-join (one extra pass over the banded table, no extra join on the
+    big side: oversized keys are few, so the exclusion is a broadcast
+    anti-join). This is the guard that keeps a degenerate LSH bucket from
+    emitting O(n^2) pairs — mirrors blocking.py's measured hot-key handling,
+    but for dedup the correct action is drop, not split: a bucket of 100k
+    docs sharing a band hash is boilerplate, and enumerating its 5x10^9
+    pairs is never useful.
+    """
+    if max_bucket_size is None:
+        return df
+    hot = (
+        df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bucket_n"))
+        .where(F.col("_bucket_n") > max_bucket_size)
+        .select(*keys)
+    )
+    return df.join(F.broadcast(hot), on=keys, how="left_anti")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -91,13 +124,15 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     seed: int = 42,
+    max_bucket_size: Optional[int] = 10_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
     signature -> `bands` slices of num_hashes/bands values; docs sharing any
     (band_id, band_hash) bucket become a candidate pair. The bucket join is
     an equi self-join on the band key — the same shuffle shape as blocking.
-    Output: (id_l, id_r, n_common_bands).
+    Buckets larger than `max_bucket_size` are dropped before the join (see
+    cap_bucket_sizes; None disables). Output: (id_l, id_r, n_common_bands).
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed)
@@ -111,6 +146,8 @@ def minhash_lsh_pairs(
             ])
         ).alias("band_id", "band_hash"),
     )
+    banded = cap_bucket_sizes(banded, ["band_id", "band_hash"],
+                              max_bucket_size)
     l = banded.alias("l")
     r = banded.alias("r")
     return (
@@ -197,10 +234,13 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
-                            max_hamming: int = 3) -> DataFrame:
+                            max_hamming: int = 3,
+                            max_bucket_size: Optional[int] = 10_000
+                            ) -> DataFrame:
     """Near-dup candidates: band the 64-bit simhash into 4 x 16-bit keys;
     any pair within Hamming distance 3 shares at least one exact band
-    (pigeonhole). Verify with bit_count(xor) <= max_hamming."""
+    (pigeonhole). Verify with bit_count(xor) <= max_hamming. Buckets above
+    `max_bucket_size` are dropped before the self-join (cap_bucket_sizes)."""
     sim = simhash_signatures(df, id_col, text_col)
     banded = sim.select(
         "_id", "_sh",
@@ -209,6 +249,7 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
             for b in range(4)
         ])).alias("band_id", "band_key"),
     )
+    banded = cap_bucket_sizes(banded, ["band_id", "band_key"], max_bucket_size)
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(r, (F.col("l.band_id") == F.col("r.band_id"))
@@ -226,10 +267,13 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
 def embedding_cosine_pairs(
     df: DataFrame, id_col: str, vec_col: str,
     threshold: float = 0.95, n_planes: int = 16, seed: int = 7,
+    max_bucket_size: Optional[int] = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine, blocked by a random-hyperplane
     (SRP-LSH) sketch so the verify join is an equi-join, not a cross join.
-    Exact cosine verification via native zip_with/aggregate."""
+    Exact cosine verification via native zip_with/aggregate. Sketch buckets
+    above `max_bucket_size` are dropped before the self-join (a degenerate
+    bucket — e.g. all-zero embeddings landing on one sketch — is quadratic)."""
     import numpy as np
 
     dim = len(df.select(vec_col).first()[0])
@@ -252,6 +296,7 @@ def embedding_cosine_pairs(
     base = df.select(F.col(id_col).alias("_id"),
                      F.col(vec_col).cast("array<double>").alias("_v"),
                      sk.alias("_sketch"))
+    base = cap_bucket_sizes(base, ["_sketch"], max_bucket_size)
     l, r = base.alias("l"), base.alias("r")
     cos = dot(F.col("l._v"), F.col("r._v")) / (
         F.sqrt(dot(F.col("l._v"), F.col("l._v")))
@@ -275,6 +320,7 @@ def near_dedup_documents(
     bands: int = 16,
     shingle_k: int = 5,
     seed: int = 42,
+    candidate_fn: Optional[Callable[[DataFrame], DataFrame]] = None,
 ) -> DataFrame:
     """End-to-end near-duplicate clustering for a document corpus: exact
     sha-groups collapse to one representative (no pair blowup for identical
@@ -283,8 +329,13 @@ def near_dedup_documents(
     large-star/small-star CC as entity clustering), then membership is
     fanned back out to all exact copies.
 
-    Output: (doc id, dup_cluster_id, is_canonical) — keep is_canonical rows
-    for a deduplicated training corpus.
+    `candidate_fn(rep_docs) -> (id_l, id_r, ...)` swaps the candidate
+    generator (default: xxhash64 MinHash-LSH); candidates are always
+    verified with exact k-shingle Jaccard before clustering.
+
+    Output: (doc id, dup_cluster_id, is_canonical) where dup_cluster_id is
+    the MINIMUM member doc id — deterministic regardless of the CC
+    representative choice. Keep is_canonical rows for a deduplicated corpus.
     """
     from .cluster import solve_connected_components
 
@@ -293,21 +344,35 @@ def near_dedup_documents(
         F.col("doc_id").alias("_rep_id"), "dup_group_id")
     rep_docs = df.join(
         reps.withColumnRenamed("_rep_id", id_col).select(id_col), on=id_col)
-    near = minhash_dedup_pairs(
-        rep_docs, id_col, text_col, jaccard_threshold=jaccard_threshold,
-        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k, seed=seed)
+    if candidate_fn is None:
+        cand = minhash_lsh_pairs(
+            rep_docs, id_col, text_col, num_hashes=num_hashes, bands=bands,
+            shingle_k=shingle_k, seed=seed)
+    else:
+        cand = candidate_fn(rep_docs)
+    side = lambda s: rep_docs.select(F.col(id_col).alias(f"id_{s}"),
+                                     F.col(text_col).alias(f"_t_{s}"))
+    near = (
+        cand.select("id_l", "id_r")
+        .join(side("l"), on="id_l").join(side("r"), on="id_r")
+        .withColumn("jaccard",
+                    ngram_jaccard(F.col("_t_l"), F.col("_t_r"), shingle_k))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_l", "id_r")
+    )
     member = solve_connected_components(
         rep_docs.select(F.col(id_col)), near,
         node_col=id_col, edge_l="id_l", edge_r="id_r")
     # fan membership back out through the exact groups
     rep_cluster = member.select(F.col("node_id").alias("_rep_id"),
-                                F.col("cluster_id").alias("dup_cluster_id"))
+                                F.col("cluster_id").alias("_cc_id"))
     out = exact.join(reps, on="dup_group_id") \
         .join(rep_cluster, on="_rep_id") \
-        .select("doc_id", "dup_cluster_id")
+        .select("doc_id", "_cc_id")
     from pyspark.sql import Window
-    w = Window.partitionBy("dup_cluster_id")
+    w = Window.partitionBy("_cc_id")
     return out.select(
-        "doc_id", "dup_cluster_id",
+        "doc_id",
+        F.min("doc_id").over(w).alias("dup_cluster_id"),
         (F.min("doc_id").over(w) == F.col("doc_id")).alias("is_canonical"),
     )

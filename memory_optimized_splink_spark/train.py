@@ -169,11 +169,18 @@ def expectation_maximisation(
 
 
 def _rule_columns(rule) -> set[str]:
+    """Columns the training rule EXACTLY equi-joins on — only those force
+    full agreement, so only those deactivate a comparison during EM
+    (reference em_training_session.py:104-124 compares the join columns,
+    not every identifier). An expression key like substr(first_name,1,2)
+    does NOT force first_name to agree and must not deactivate it."""
     import re
 
     cols = set()
     for k in (rule.keys or ()):
-        cols |= set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", k))
+        k = k.strip()
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", k):
+            cols.add(k)
     return cols
 
 
@@ -267,6 +274,26 @@ def estimate_m_from_pairwise_labels(
     )
     cv = compute_comparison_vectors(pairs, nodes, settings,
                                     retain_columns=False)
+    patterns = agreement_pattern_counts(cv, list(settings.comparisons))
+    p = np.ones(len(patterns))
+    comps, _ = _m_step(patterns, list(settings.comparisons), p, fix_u=True)
+    return replace(settings, comparisons=tuple(comps))
+
+
+def estimate_m_from_label_column(
+    nodes: DataFrame, settings: Settings, label_column: str,
+) -> Settings:
+    """m from a ground-truth LABEL COLUMN (reference
+    linker_components/training.py:353 -> m_training.py:26-100 via
+    block_from_labels.py): pairs agreeing on `label_column` are treated as
+    true matches (match_probability := 1.0) and a single M-step re-estimates
+    every m. u passes through unchanged (fix_u)."""
+    from .model import block_on
+
+    settings = settings.with_defaults()
+    s = replace(settings, blocking_rules=(block_on(label_column),))
+    pairs = block_using_rules(nodes, s)
+    cv = compute_comparison_vectors(pairs, nodes, s, retain_columns=False)
     patterns = agreement_pattern_counts(cv, list(settings.comparisons))
     p = np.ones(len(patterns))
     comps, _ = _m_step(patterns, list(settings.comparisons), p, fix_u=True)

@@ -1,0 +1,113 @@
+"""Chart-data emitters: waterfall rows for a known pair must equal
+hand-computed Bayes factors (golden-style, reference waterfall_chart.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from memory_optimized_splink_spark.charts import (
+    comparison_viewer_data,
+    m_u_parameters_chart_data,
+    match_weights_chart_data,
+    waterfall_chart_data,
+)
+from memory_optimized_splink_spark.model import (
+    Comparison, ComparisonLevel, Settings, block_on,
+)
+
+PRIOR = 0.2
+M_A, U_A = 0.9, 0.01   # exact level of comparison a
+M_B, U_B = 0.7, 0.25   # exact level of comparison b
+
+
+@pytest.fixture(scope="module")
+def settings():
+    return Settings(
+        comparisons=(
+            Comparison("a", "a", (
+                ComparisonLevel("null"),
+                ComparisonLevel("exact", m=M_A, u=U_A),
+                ComparisonLevel("else", m=0.1, u=0.99),
+            )),
+            Comparison("b", "b", (
+                ComparisonLevel("null"),
+                ComparisonLevel("exact", m=M_B, u=U_B),
+                ComparisonLevel("else", m=0.3, u=0.75),
+            )),
+        ),
+        blocking_rules=(block_on("a"),),
+        probability_two_random_records_match=PRIOR,
+    )
+
+
+def test_match_weights_chart_records(settings):
+    recs = match_weights_chart_data(settings)
+    prior = recs[0]
+    assert prior["label_for_charts"].startswith("Starting match weight")
+    assert abs(prior["log2_bayes_factor"] - math.log2(PRIOR / (1 - PRIOR))) < 1e-12
+    by = {(r["comparison_name"], r["comparison_vector_value"]): r
+          for r in recs[1:]}
+    assert abs(by[("a", 1)]["bayes_factor"] - M_A / U_A) < 1e-12
+    assert abs(by[("b", 1)]["log2_bayes_factor"] - math.log2(M_B / U_B)) < 1e-12
+    # every graded level of both comparisons is present (2 each)
+    assert len(by) == 4
+
+
+def test_m_u_parameter_records(settings):
+    recs = m_u_parameters_chart_data(settings)
+    assert len(recs) == 8  # 4 levels x m/u
+    m_rec = next(r for r in recs if r["comparison_name"] == "a"
+                 and r["comparison_vector_value"] == 1
+                 and r["probability_type"] == "m_probability")
+    assert m_rec["probability"] == M_A
+
+
+def test_waterfall_hand_computed(settings):
+    # pair agrees on a (gamma_a=1), disagrees on b (gamma_b=0)
+    row = {
+        "unique_id_l": "x", "unique_id_r": "y",
+        "gamma_a": 1, "gamma_b": 0,
+        "a_l": "v", "a_r": "v", "b_l": "p", "b_r": "q",
+        "match_weight": math.log2(
+            (PRIOR / (1 - PRIOR)) * (M_A / U_A) * (0.3 / 0.75)),
+    }
+    charts = waterfall_chart_data([row], settings)
+    assert len(charts) == 1
+    recs = charts[0]
+    assert recs[0]["column_name"] == "Prior"
+    assert recs[-1]["column_name"] == "Final score"
+    bars = {r["column_name"]: r for r in recs}
+    assert abs(bars["a"]["bayes_factor"] - M_A / U_A) < 1e-12
+    assert abs(bars["b"]["bayes_factor"] - 0.3 / 0.75) < 1e-12
+    assert bars["a"]["value_l"] == "v" and bars["b"]["value_r"] == "q"
+    # the waterfall must telescope: sum of log2 bars == final score
+    total = sum(r["log2_bayes_factor"] for r in recs[:-1])
+    assert abs(total - recs[-1]["log2_bayes_factor"]) < 1e-12
+    assert [r["bar_sort_order"] for r in recs] == list(range(len(recs)))
+
+
+def test_waterfall_null_level(settings):
+    row = {
+        "gamma_a": -1, "gamma_b": 1,
+        "a_l": None, "a_r": "v", "b_l": "p", "b_r": "p",
+        "match_weight": math.log2((PRIOR / (1 - PRIOR)) * (M_B / U_B)),
+    }
+    recs = waterfall_chart_data([row], settings)[0]
+    bars = {r["column_name"]: r for r in recs}
+    assert bars["a"]["bayes_factor"] == 1.0  # null level is neutral
+    total = sum(r["log2_bayes_factor"] for r in recs[:-1])
+    assert abs(total - recs[-1]["log2_bayes_factor"]) < 1e-12
+
+
+def test_comparison_viewer_data(spark, settings):
+    rows = [
+        ("1", "2", 1, 1), ("1", "3", 1, 0), ("2", "3", 1, 0), ("4", "5", 0, 0),
+    ]
+    pred = spark.createDataFrame(
+        rows, "unique_id_l string, unique_id_r string, gamma_a int, gamma_b int")
+    out = comparison_viewer_data(pred, settings, example_rows_per_pattern=1)
+    got = {(r["gamma_a"], r["gamma_b"]): r["pattern_count"]
+           for r in out.collect()}
+    assert got == {(1, 1): 1, (1, 0): 2, (0, 0): 1}

@@ -105,3 +105,62 @@ def test_near_dedup_documents(spark):
     assert len(canon) == 1
     # unrelated doc stays its own cluster
     assert out["d6"]["dup_cluster_id"] != c
+
+
+def test_bucket_cap_noop_below_cap(docs):
+    uncapped = {(r["id_l"], r["id_r"])
+                for r in minhash_lsh_pairs(docs, "doc_id", "text",
+                                           max_bucket_size=None).collect()}
+    capped = {(r["id_l"], r["id_r"])
+              for r in minhash_lsh_pairs(docs, "doc_id", "text",
+                                         max_bucket_size=10_000).collect()}
+    assert capped == uncapped and len(capped) > 0
+
+
+def test_bucket_cap_bounds_degenerate_bucket(spark):
+    """60 identical docs put 60 rows in every LSH bucket: uncapped emits the
+    full 60*59/2 quadratic pair set; a cap of 50 drops those buckets."""
+    many = spark.range(60).select(
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("doc_id"),
+        F.lit("same boilerplate header text repeated everywhere").alias("text"),
+    )
+    n_unc = minhash_lsh_pairs(many, "doc_id", "text",
+                              max_bucket_size=None).count()
+    n_cap = minhash_lsh_pairs(many, "doc_id", "text",
+                              max_bucket_size=50).count()
+    assert n_unc == 60 * 59 // 2
+    assert n_cap == 0
+
+    n_sim_unc = simhash_candidate_pairs(many, "doc_id", "text",
+                                        max_bucket_size=None).count()
+    n_sim_cap = simhash_candidate_pairs(many, "doc_id", "text",
+                                        max_bucket_size=50).count()
+    assert n_sim_unc == 60 * 59 // 2 and n_sim_cap == 0
+
+
+def test_embedding_bucket_cap(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(8)
+    rows = [(i, [float(x) for x in base]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    n_unc = embedding_cosine_pairs(df, "vec_id", "embedding",
+                                   max_bucket_size=None).count()
+    n_cap = embedding_cosine_pairs(df, "vec_id", "embedding",
+                                   max_bucket_size=30).count()
+    assert n_unc == 40 * 39 // 2 and n_cap == 0
+
+
+def test_near_dedup_cluster_id_is_min_member(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id string, text string")
+    out = near_dedup_from_import(docs)
+    for r in out.collect():
+        assert r["is_canonical"] == (r["doc_id"] == r["dup_cluster_id"])
+
+
+def near_dedup_from_import(docs):
+    from memory_optimized_splink_spark.operators.dedup import (
+        near_dedup_documents,
+    )
+    return near_dedup_documents(docs, "doc_id", "text", jaccard_threshold=0.5)

@@ -124,3 +124,57 @@ def test_find_matches_tf_from_node_table_after_resume(spark, repo_nodes,
     full_counts = {r["lang"]: r["tf_lang"] for r in tf.collect()}
     # counts reflect the FULL node table, not the 1-row frame
     assert max(full_counts.values()) > 1
+
+
+def test_checkpoint_not_reused_across_different_inputs(
+        spark, repo_nodes, basic_settings, tmp_path):
+    """Same settings + same checkpoint dir + DIFFERENT input must not
+    resume the previous input's cached stages (the stage key includes an
+    input fingerprint)."""
+    ckpt = str(tmp_path / "ck_inputs")
+    l1 = SparkLinker(spark, repo_nodes, basic_settings,
+                     checkpoint_dir=ckpt, enable_checkpoints=True)
+    n1 = l1.blocked_pairs().count()
+    smaller = repo_nodes.limit(60).cache()
+    smaller.count()
+    l2 = SparkLinker(spark, smaller, basic_settings,
+                     checkpoint_dir=ckpt, enable_checkpoints=True)
+    n2 = l2.blocked_pairs().count()
+    assert n2 < n1
+
+
+def test_realtime_tf_weights_match_batch(spark, basic_settings):
+    """compare_two_records must use the same per-field non-null counts as
+    batch predict(), so TF-adjusted weights agree even when the TF column
+    has nulls."""
+    from dataclasses import replace
+
+    from memory_optimized_splink_spark.model import (
+        Comparison, ComparisonLevel, Settings, block_on,
+    )
+
+    rows = [
+        ("1", "k1", "en"), ("2", "k1", "en"), ("3", "k1", None),
+        ("4", "k2", "fr"), ("5", "k2", "fr"), ("6", "k2", "en"),
+    ]
+    df = spark.createDataFrame(rows, "unique_id string, k string, lang string")
+    s = Settings(
+        comparisons=(
+            Comparison("lang", "lang", (
+                ComparisonLevel("null"),
+                ComparisonLevel("exact", m=0.8, u=0.2, tf_adjustment=True),
+                ComparisonLevel("else", m=0.2, u=0.8),
+            )),
+        ),
+        blocking_rules=(block_on("k"),),
+        probability_two_random_records_match=0.1,
+        tf_columns=("lang",),
+    )
+    linker = SparkLinker(spark, df, s)
+    batch = {(r["unique_id_l"], r["unique_id_r"]): r["match_weight"]
+             for r in linker.predict().collect()}
+    rt = linker.compare_two_records(
+        {"unique_id": "1", "k": "k1", "lang": "en"},
+        {"unique_id": "2", "k": "k1", "lang": "en"},
+    ).collect()[0]["match_weight"]
+    assert abs(rt - batch[("1", "2")]) < 1e-12

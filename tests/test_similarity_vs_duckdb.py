@@ -74,13 +74,26 @@ def test_levenshtein_matches_duckdb(pairs):
     assert (got[ascii_mask] == ref.lev.to_numpy()[ascii_mask]).all()
 
 
-def test_osa_damerau_literals():
-    # our DL is the OSA (restricted) variant, like the reference's Scala UDF;
-    # DuckDB's builtin is unrestricted, so assert literals, not duck parity.
-    s1 = pd.Series(["ab", "ca", "kitten", "abcdef"])
-    s2 = pd.Series(["ba", "abc", "sitting", "abcdef"])
+def test_damerau_levenshtein_literals():
+    # UNRESTRICTED DL (Lowrance-Wagner): dl("ca","abc")=2 where OSA gives 3
+    # — matches DuckDB's damerau_levenshtein and the reference's Scala UDF.
+    s1 = pd.Series(["ab", "ca", "kitten", "abcdef", "", "a"])
+    s2 = pd.Series(["ba", "abc", "sitting", "abcdef", "x", ""])
     got = edit_distance_np(s1, s2, damerau=True)
-    assert got.tolist() == [1, 3, 3, 0]
+    assert got.tolist() == [1, 2, 3, 0, 1, 1]
+
+
+def test_damerau_levenshtein_matches_duckdb(pairs):
+    s1, s2, ref_unused = pairs
+    ascii_mask = np.array(
+        [a.isascii() and b.isascii() for a, b in zip(s1, s2)]
+    )
+    got = edit_distance_np(s1, s2, damerau=True)
+    con = duckdb.connect()
+    tbl = pd.DataFrame({"a": s1, "b": s2})  # noqa: F841
+    exp = con.execute(
+        "select damerau_levenshtein(a,b) dl from tbl").fetchdf().dl.to_numpy()
+    assert (got[ascii_mask] == exp[ascii_mask]).all()
 
 
 def test_udfs_run_in_spark(spark):

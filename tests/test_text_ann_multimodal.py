@@ -145,3 +145,51 @@ def test_media_stats(media):
     got = {r["media_type"]: r for r in media_stats(media).collect()}
     assert got["image"]["n"] == 2
     assert got["video"]["total_bytes"] == 10
+
+
+def test_ivf_large_codebook_arrow_path(vectors):
+    """n_centroids=256 must use the Arrow matmul assignment (codebook in the
+    UDF closure), not 256 array literals baked into the plan — and still
+    recall well when probing a quarter of the centroids."""
+    from memory_optimized_splink_spark.operators.ann import fit_centroids
+
+    queries = vectors.limit(10)
+    cents = fit_centroids(vectors, n_centroids=256, sample=300)
+    approx_df = ivf_topk(vectors, queries, k=5, centroids=cents, n_probe=64)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan          # pandas-UDF assignment node
+    assert len(plan) < 200_000                # no literal codebook blowup
+
+    exact = brute_force_topk(vectors, queries, k=5).collect()
+    approx = approx_df.collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_centroid_assign_paths_agree(vectors):
+    """Literal-expression and Arrow-matmul assignment must pick identical
+    centroids (same scores, same lower-id tie-break)."""
+    import numpy as np
+
+    from memory_optimized_splink_spark.operators.ann import (
+        _centroid_assign, _centroid_assign_arrow, fit_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    cents = fit_centroids(vectors, n_centroids=16, sample=300)
+    df = vectors.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v"))
+    lit = {r["vec_id"]: list(r["c"]) for r in df.select(
+        "vec_id", _centroid_assign(F.col("_v"), cents, 3).alias("c")).collect()}
+    arw = {r["vec_id"]: list(r["c"]) for r in df.select(
+        "vec_id",
+        _centroid_assign_arrow(F.col("_v"), cents, 3).alias("c")).collect()}
+    assert lit == arw

@@ -140,3 +140,43 @@ def test_m_from_labels(spark, person_nodes):
     got = {c.name: dict(c.graded_levels) for c in trained.comparisons}
     assert got["a"][1].m > 0.95  # 'a' always agrees within an entity
     assert 0.7 < got["b"][1].m < 0.95  # 'b' perturbed ~20% of the time
+
+
+def test_m_from_label_column_matches_pairwise(spark, person_nodes):
+    """Blocking on the label column generates exactly the intra-cluster
+    pairs, so the label-column and pairwise-label paths must train
+    identical m (reference linker_components/training.py:353)."""
+    from pyspark.sql import functions as F
+
+    from memory_optimized_splink_spark.train import (
+        estimate_m_from_label_column,
+    )
+
+    s = _two_col_settings(("a", "b", "c")).with_defaults()
+    via_col = estimate_m_from_label_column(person_nodes, s, "cluster")
+    pos = (
+        person_nodes.alias("l")
+        .join(person_nodes.alias("r"),
+              (F.col("l.cluster") == F.col("r.cluster"))
+              & (F.col("l.unique_id") < F.col("r.unique_id")))
+        .select(F.col("l.unique_id").alias("unique_id_l"),
+                F.col("r.unique_id").alias("unique_id_r"))
+    )
+    via_pairs = estimate_m_from_pairwise_labels(person_nodes, s, pos)
+    for c1, c2 in zip(via_col.comparisons, via_pairs.comparisons):
+        for (_, lv1), (_, lv2) in zip(c1.graded_levels, c2.graded_levels):
+            assert lv1.m == lv2.m
+            assert lv1.u == lv2.u  # u untouched in both
+    # m(exact on a) must be high: duplicates nearly always agree on a
+    got = {c.name: dict(c.graded_levels) for c in via_col.comparisons}
+    assert got["a"][1].m > 0.9
+
+
+def test_expression_blocking_key_does_not_deactivate():
+    """substr(first_name,1,2) does not force first_name agreement — only
+    exact equi-join keys deactivate a comparison during EM
+    (em_training_session.py:104-124)."""
+    from memory_optimized_splink_spark.train import _rule_columns
+
+    r = block_on("substr(a,1,2)", "b")
+    assert _rule_columns(r) == {"b"}
