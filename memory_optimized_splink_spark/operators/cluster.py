@@ -45,9 +45,14 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
+    # repartition once on the star centre: the min-aggregate AND the
+    # neighbours-to-mins join both require hash(u) clustering, so Catalyst
+    # reuses this single exchange for both (2 shuffles/round instead of 3;
+    # the join forces a full shuffle of nbrs by u either way, so no extra
+    # data moves and AQE skew-join still covers hub nodes).
     nbrs = edges.select("u", "v").union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    ).repartition("u")
     mins = (
         nbrs.groupBy("u")
         .agg(F.min("v").alias("_mn"))
@@ -65,7 +70,7 @@ def _large_star(edges: DataFrame) -> DataFrame:
 def _small_star(edges: DataFrame) -> DataFrame:
     e = edges.select(
         F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
-    ).where(F.col("a") != F.col("b"))
+    ).where(F.col("a") != F.col("b")).repartition("a")
     mins = e.groupBy("a").agg(F.min("b").alias("m"))
     out = (
         e.join(mins, on="a")
@@ -80,10 +85,11 @@ def _small_star(edges: DataFrame) -> DataFrame:
 def connected_components_long(edges: DataFrame, max_iterations: int = 50
                               ) -> DataFrame:
     """edges(u long, v long) -> assignments(u long, rep long) for every node
-    that appears in an edge. rep = component minimum."""
-    e = _checkpoint(
-        edges.select("u", "v").where(F.col("u") != F.col("v")).distinct()
-    )
+    that appears in an edge. rep = component minimum.
+
+    Duplicate/symmetric input edges are fine: the first star round's own
+    distinct() subsumes a separate pre-dedup pass (one shuffle saved)."""
+    e = _checkpoint(edges.select("u", "v").where(F.col("u") != F.col("v")))
     if e.isEmpty():
         return e.select(F.col("u"), F.col("v").alias("rep")).limit(0)
     prev = None

@@ -174,6 +174,24 @@ def _level_condition(comp: Comparison, lv: ComparisonLevel) -> Column:
             F.cos(lat_l) * F.cos(lat_r) * F.pow(F.sin(dlon / 2), 2)
         dist_km = 2 * 6371.0 * F.asin(F.sqrt(a))
         return dist_km <= F.lit(lv.threshold)
+    if lv.kind == "dmetaphone":
+        # phonetic equality on the primary Double Metaphone code
+        # (reference Scala UDF Dmetaphone, spark/jar_location.py:52-58)
+        from ..functions.phonetic import dmetaphone_udf
+        return dmetaphone_udf(l) == dmetaphone_udf(r)
+    if lv.kind == "dmetaphone_alt":
+        # match if either the primary or the alternate codes agree
+        from ..functions.phonetic import dmetaphone_alt_udf, dmetaphone_udf
+        return (dmetaphone_udf(l) == dmetaphone_udf(r)) | \
+            (dmetaphone_alt_udf(l) == dmetaphone_alt_udf(r))
+    if lv.kind == "qgram_jaccard":
+        # q-gram token-set Jaccard (QgramTokeniser equivalent)
+        from ..functions.phonetic import qgram_tokenise
+        a, b = qgram_tokenise(l, 2), qgram_tokenise(r, 2)
+        inter = F.size(F.array_intersect(a, b))
+        union = F.size(F.array_union(a, b))
+        j = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+        return j >= F.lit(lv.threshold)
     if lv.kind == "pairwise_levenshtein":
         # best pairwise distance between two string arrays
         # (comparison_level_library.py:598-692): native higher-order fns +
