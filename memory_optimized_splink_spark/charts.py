@@ -157,6 +157,27 @@ def waterfall_chart_data(rows: list[dict[str, Any]], settings: Settings
     return out
 
 
+def cluster_studio_data(membership: DataFrame, edges: DataFrame,
+                        sample_clusters: int = 10,
+                        edge_l: str = "unique_id_l",
+                        edge_r: str = "unique_id_r"
+                        ) -> tuple[DataFrame, DataFrame]:
+    """The data payload behind the reference's cluster studio dashboard
+    (cluster_studio.py renders HTML; the engine emits the record sets):
+    the `sample_clusters` largest non-singleton clusters' membership rows
+    and their internal edges."""
+    top = (membership.groupBy("cluster_id")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .where(F.col("n") >= 2)
+           .orderBy(F.desc("n"), "cluster_id")
+           .limit(sample_clusters)
+           .select("cluster_id"))
+    mem = membership.join(F.broadcast(top), on="cluster_id")
+    e = edges.join(
+        mem.select(F.col("node_id").alias(edge_l), "cluster_id"), on=edge_l)
+    return mem, e
+
+
 def comparison_viewer_data(pred: DataFrame, settings: Settings,
                            example_rows_per_pattern: int = 2) -> DataFrame:
     """Distinct comparison-vector patterns with counts and example pairs

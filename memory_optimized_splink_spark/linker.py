@@ -345,6 +345,29 @@ class SparkLinker:
         return comparison_viewer_data(self.predict(), self.settings,
                                       example_rows_per_pattern)
 
+    def cluster_studio_data(self, threshold_match_probability: float,
+                            sample_clusters: int = 10
+                            ) -> tuple[DataFrame, DataFrame]:
+        from .charts import cluster_studio_data
+        uid = self.settings.unique_id_column_name
+        member = self.cluster(threshold_match_probability) \
+            .select(F.col(uid).alias("node_id"), "cluster_id")
+        edges = self.predict().where(
+            F.col("match_probability") >= threshold_match_probability)
+        return cluster_studio_data(member, edges, sample_clusters)
+
+    def bridges(self, threshold_match_probability: float) -> DataFrame:
+        """Bridge edges per cluster (graph_metrics.py:139-235 equivalent,
+        distributed per cluster instead of igraph on the driver)."""
+        from .operators.cluster import bridges as bridges_op
+        uid = self.settings.unique_id_column_name
+        member = self.cluster(threshold_match_probability) \
+            .select(F.col(uid).alias("node_id"), "cluster_id")
+        edges = self.predict().where(
+            F.col("match_probability") >= threshold_match_probability) \
+            .select("unique_id_l", "unique_id_r")
+        return bridges_op(member, edges)
+
     # ---------------------------------------------------------- evaluation
     def truth_space(self, labels: DataFrame) -> DataFrame:
         return truth_space_table(labels, self.predict())

@@ -189,6 +189,80 @@ def cluster_sizes(membership: DataFrame) -> DataFrame:
     )
 
 
+def bridges(membership: DataFrame, edges: DataFrame,
+            node_col: str = "node_id",
+            edge_l: str = "unique_id_l", edge_r: str = "unique_id_r",
+            max_cluster_edges: int = 200_000) -> DataFrame:
+    """Bridge edges (edges whose removal disconnects their cluster).
+
+    The reference computes bridges with igraph ON THE DRIVER over the whole
+    edge list (graph_metrics.py:139-235). Here each cluster's subgraph runs
+    Tarjan's bridge-finding independently inside applyInPandas — distributed
+    by cluster_id, nothing collected to the driver. Clusters larger than
+    `max_cluster_edges` are emitted with is_bridge=NULL (skipped, not
+    exploded) — a cluster that big is itself a data-quality signal.
+
+    Output: (cluster_id, edge_l, edge_r, is_bridge).
+    """
+    import pandas as pd
+
+    cl = membership.select(F.col(node_col).alias(edge_l),
+                           F.col("cluster_id"))
+    e = edges.select(edge_l, edge_r).join(cl, on=edge_l)
+
+    def find_bridges(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[[edge_l, edge_r]].copy()
+        out["cluster_id"] = pdf["cluster_id"].iloc[0]
+        if len(pdf) > max_cluster_edges:
+            out["is_bridge"] = None
+            return out[["cluster_id", edge_l, edge_r, "is_bridge"]]
+        # adjacency with edge ids so a parallel edge is never a bridge
+        adj: dict[str, list[tuple[str, int]]] = {}
+        pairs = list(zip(pdf[edge_l], pdf[edge_r]))
+        for idx, (u, v) in enumerate(pairs):
+            adj.setdefault(u, []).append((v, idx))
+            adj.setdefault(v, []).append((u, idx))
+        disc: dict[str, int] = {}
+        low: dict[str, int] = {}
+        is_bridge = [False] * len(pairs)
+        counter = [0]
+        for root in adj:
+            if root in disc:
+                continue
+            # iterative Tarjan: stack of (node, incoming edge id, child iter)
+            stack = [(root, -1, iter(adj[root]))]
+            disc[root] = low[root] = counter[0]
+            counter[0] += 1
+            while stack:
+                node, in_edge, it = stack[-1]
+                advanced = False
+                for nbr, eid in it:
+                    if eid == in_edge:
+                        continue
+                    if nbr not in disc:
+                        disc[nbr] = low[nbr] = counter[0]
+                        counter[0] += 1
+                        stack.append((nbr, eid, iter(adj[nbr])))
+                        advanced = True
+                        break
+                    low[node] = min(low[node], disc[nbr])
+                if not advanced:
+                    stack.pop()
+                    if stack:
+                        parent = stack[-1][0]
+                        low[parent] = min(low[parent], low[node])
+                        if low[node] > disc[parent]:
+                            is_bridge[in_edge] = True
+        # parallel edges: a duplicated (u,v) is never a bridge — the edge-id
+        # trick already handles it (the second copy is a back edge)
+        out["is_bridge"] = is_bridge if len(pdf) <= max_cluster_edges else None
+        return out[["cluster_id", edge_l, edge_r, "is_bridge"]]
+
+    schema = (f"cluster_id string, {edge_l} string, {edge_r} string, "
+              "is_bridge boolean")
+    return e.groupBy("cluster_id").applyInPandas(find_bridges, schema=schema)
+
+
 def graph_metrics(membership: DataFrame, edges: DataFrame,
                   node_col: str = "node_id",
                   edge_l: str = "unique_id_l",

@@ -90,3 +90,52 @@ def test_md5_cluster_ids_stable_across_parallelism(spark):
     ra = {r["node_id"]: r["cluster_id"] for r in a.collect()}
     rb = {r["node_id"]: r["cluster_id"] for r in b.collect()}
     assert ra == rb
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_bridges_vs_networkx(spark, seed):
+    """Per-cluster Tarjan bridges == networkx.bridges on random graphs
+    (reference graph_metrics.py:139-235 computes these with igraph)."""
+    import networkx as nx
+
+    from memory_optimized_splink_spark.fixtures import erdos_renyi_edges
+    from memory_optimized_splink_spark.operators.cluster import (
+        bridges, solve_connected_components,
+    )
+
+    pdf = erdos_renyi_edges(n=120, p=0.02, seed=seed)
+    pdf = pdf.assign(
+        unique_id_l=("n" + pdf["unique_id_l"].astype(str)),
+        unique_id_r=("n" + pdf["unique_id_r"].astype(str)))
+    g = nx.Graph()
+    g.add_nodes_from(f"n{i}" for i in range(120))
+    g.add_edges_from(zip(pdf["unique_id_l"], pdf["unique_id_r"]))
+    expected = {frozenset((u, v)) for u, v in nx.bridges(g)}
+
+    edges = spark.createDataFrame(pdf)
+    nodes = spark.createDataFrame(
+        [(f"n{i}",) for i in range(120)], "unique_id string")
+    member = solve_connected_components(nodes, edges)
+    out = bridges(member, edges).collect()
+    got = {frozenset((r["unique_id_l"], r["unique_id_r"]))
+           for r in out if r["is_bridge"]}
+    assert got == expected
+    # every input edge is classified
+    assert len(out) == len(pdf)
+
+
+def test_bridges_path_and_cycle(spark):
+    from memory_optimized_splink_spark.operators.cluster import (
+        bridges, solve_connected_components,
+    )
+
+    # path a-b-c (both edges bridges) + triangle x-y-z (no bridges)
+    rows = [("a", "b"), ("b", "c"), ("x", "y"), ("y", "z"), ("x", "z")]
+    edges = spark.createDataFrame(rows, "unique_id_l string, unique_id_r string")
+    nodes = spark.createDataFrame(
+        [(n,) for n in "abcxyz"], "unique_id string")
+    member = solve_connected_components(nodes, edges)
+    got = {(r["unique_id_l"], r["unique_id_r"]): r["is_bridge"]
+           for r in bridges(member, edges).collect()}
+    assert got == {("a", "b"): True, ("b", "c"): True,
+                   ("x", "y"): False, ("y", "z"): False, ("x", "z"): False}

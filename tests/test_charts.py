@@ -111,3 +111,19 @@ def test_comparison_viewer_data(spark, settings):
     got = {(r["gamma_a"], r["gamma_b"]): r["pattern_count"]
            for r in out.collect()}
     assert got == {(1, 1): 1, (1, 0): 2, (0, 0): 1}
+
+
+def test_cluster_studio_data(spark):
+    from memory_optimized_splink_spark.charts import cluster_studio_data
+
+    member = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("c", "c1"), ("d", "c2"), ("e", "c2"),
+         ("f", "c3")],
+        "node_id string, cluster_id string")
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")],
+        "unique_id_l string, unique_id_r string")
+    mem, e = cluster_studio_data(member, edges, sample_clusters=1)
+    assert {r["node_id"] for r in mem.collect()} == {"a", "b", "c"}
+    assert {(r["unique_id_l"], r["unique_id_r"]) for r in e.collect()} \
+        == {("a", "b"), ("b", "c")}

@@ -178,3 +178,52 @@ def test_realtime_tf_weights_match_batch(spark, basic_settings):
         {"unique_id": "2", "k": "k1", "lang": "en"},
     ).collect()[0]["match_weight"]
     assert abs(rt - batch[("1", "2")]) < 1e-12
+
+
+def test_datasets_registry_end_to_end(spark):
+    """splink_datasets-equivalent loader: fake_1000 has the documented shape
+    and links end-to-end with known ground truth."""
+    from memory_optimized_splink_spark.datasets import datasets
+    from memory_optimized_splink_spark.model import (
+        Comparison, ComparisonLevel, Settings, block_on,
+    )
+    from memory_optimized_splink_spark.accuracy import pairwise_cluster_f1
+
+    ds = datasets(spark)
+    df = ds.fake_1000()
+    assert df.columns == ["unique_id", "first_name", "surname", "dob",
+                          "city", "email", "cluster"]
+    n = df.count()
+    assert n == 1000
+    # determinism
+    assert ds.fake_1000().agg(F.sum(F.crc32("unique_id"))).collect()[0][0] \
+        == df.agg(F.sum(F.crc32("unique_id"))).collect()[0][0]
+
+    s = Settings(
+        comparisons=(
+            Comparison("first_name", "first_name", (
+                ComparisonLevel("null"),
+                ComparisonLevel("exact", m=0.7, u=0.05),
+                ComparisonLevel("jaro_winkler", threshold=0.88, m=0.2, u=0.02),
+                ComparisonLevel("else", m=0.1, u=0.93),
+            )),
+            Comparison("surname", "surname", (
+                ComparisonLevel("null"),
+                ComparisonLevel("exact", m=0.7, u=0.05),
+                ComparisonLevel("jaro_winkler", threshold=0.88, m=0.2, u=0.02),
+                ComparisonLevel("else", m=0.1, u=0.93),
+            )),
+            Comparison("email", "email", (
+                ComparisonLevel("null"),
+                ComparisonLevel("exact", m=0.9, u=0.001),
+                ComparisonLevel("else", m=0.1, u=0.999),
+            )),
+        ),
+        blocking_rules=(block_on("dob"),),
+        probability_two_random_records_match=0.01,
+    )
+    linker = SparkLinker(spark, df, s)
+    member = linker.cluster(threshold_match_probability=0.9) \
+        .select("unique_id", "cluster_id", "cluster")
+    f1 = pairwise_cluster_f1(member, truth_col="cluster")
+    assert f1["f1"] > 0.9
