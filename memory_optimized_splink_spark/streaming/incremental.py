@@ -60,3 +60,48 @@ def windowed_event_dedup(events: DataFrame, ts_col: str, key_cols: list[str],
     dropDuplicates within the watermark horizon (stateful operator)."""
     return events.withWatermark(ts_col, watermark) \
         .dropDuplicatesWithinWatermark(key_cols)
+
+
+def streaming_entity_assignment(
+    stream: DataFrame,
+    key_col: str = "key",
+    id_col: str = "unique_id",
+    sha_col: str = "content_sha",
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    incremental exact-entity resolution. Per blocking key, GroupState holds
+    the content_sha -> canonical-entity-id map; every incoming record is
+    assigned the entity id of the FIRST record seen with its sha (min id
+    within a micro-batch for determinism), new shas open new entities. The
+    state survives query restarts via the stream checkpoint — the streaming
+    analogue of exact_dedup + find_matches_to_new_records.
+
+    Output: (key, id, sha, entity_id), append mode.
+    """
+    import pandas as pd
+
+    out_schema = (f"{key_col} string, {id_col} string, {sha_col} string, "
+                  "entity_id string")
+    state_schema = "shas array<string>, ids array<string>"
+
+    def assign(key, pdfs, state):
+        if state.exists:
+            shas, ids = state.get
+            mapping = dict(zip(shas, ids))
+        else:
+            mapping = {}
+        chunks = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(id_col)  # deterministic first-seen
+            ents = []
+            for sha, uid in zip(pdf[sha_col], pdf[id_col]):
+                if sha not in mapping:
+                    mapping[sha] = uid
+                ents.append(mapping[sha])
+            pdf = pdf.assign(entity_id=pd.Series(ents, index=pdf.index))
+            chunks.append(pdf[[key_col, id_col, sha_col, "entity_id"]])
+        state.update((list(mapping.keys()), list(mapping.values())))
+        yield from chunks
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        assign, out_schema, state_schema, "append", "NoTimeout")

@@ -66,3 +66,33 @@ def test_tf_join_is_broadcast(spark, repo_nodes):
     s = replace(EQ.entry_settings(), tf_columns=("lang",))
     joined, _ = join_tf_columns(repo_nodes, s)
     assert "BroadcastHashJoin" in _plan(joined)
+
+
+def test_lsh_bucket_cap_is_broadcast_anti_join(spark):
+    """The bucket-size cap must exclude hot buckets via a BROADCAST anti
+    join (the hot-key list is tiny); the big banded table shuffles once."""
+    from memory_optimized_splink_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document text number {i}") for i in range(50)],
+        "doc_id long, text string")
+    plan = _plan(minhash_lsh_pairs(docs, "doc_id", "text",
+                                   max_bucket_size=100))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bridges_plan_no_driver_collect(spark):
+    """bridges() is a single groupBy-applyInPandas — FlatMapGroupsInPandas
+    in the plan, no cartesian/collect shape."""
+    from memory_optimized_splink_spark.operators.cluster import bridges
+
+    member = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1")], "node_id string, cluster_id string")
+    edges = spark.createDataFrame(
+        [("a", "b")], "unique_id_l string, unique_id_r string")
+    plan = _plan(bridges(member, edges))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan

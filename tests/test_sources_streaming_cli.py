@@ -73,3 +73,47 @@ def test_cli_predict_and_cluster(spark, repo_nodes, basic_settings, tmp_path):
     clusters = spark.read.parquet(out2)
     assert "cluster_id" in clusters.columns
     assert clusters.count() == repo_nodes.count()
+
+
+def test_streaming_entity_assignment_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState entity assignment: same-sha records share the
+    first-seen entity id, and the sha->entity state is restored from the
+    stream checkpoint across a query restart."""
+    import time
+
+    from memory_optimized_splink_spark.streaming.incremental import (
+        streaming_entity_assignment,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "key string, unique_id string, content_sha string"
+    batch1 = spark.createDataFrame(
+        [("k1", "a1", "X"), ("k1", "a2", "X"), ("k1", "b1", "Y"),
+         ("k2", "c1", "X")], schema)
+    batch1.write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(batch1.schema).parquet(src)
+        q = streaming_entity_assignment(stream) \
+            .writeStream.format("parquet").option("path", out) \
+            .option("checkpointLocation", ckpt) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        return {r["unique_id"]: r["entity_id"]
+                for r in spark.read.parquet(out).collect()}
+
+    got1 = run()
+    assert got1["a1"] == got1["a2"] == "a1"   # same sha, same key
+    assert got1["b1"] == "b1"                 # new sha -> new entity
+    assert got1["c1"] == "c1"                 # same sha, DIFFERENT key
+
+    # append a later batch: a3 repeats sha X in k1 -> must resolve to a1
+    # via state RESTORED from the checkpoint (fresh query restart)
+    spark.createDataFrame([("k1", "a3", "X"), ("k1", "d1", "Z")], schema) \
+        .write.mode("append").parquet(src)
+    got2 = run()
+    assert got2["a3"] == "a1"                 # restored state used
+    assert got2["d1"] == "d1"
+    assert len(got2) == 6                     # cumulative file sink
