@@ -131,12 +131,17 @@ def run_pipeline(spark: SparkSession, sf_dir: str, variants: int = 40) -> dict:
         .localCheckpoint(eager=True)
     pred.count()
 
-    t0 = time.time()
+    # CC timed like scoring: steady-state of 2 runs (same noisy-VM rule)
     edges = pred.where(F.col("match_probability") >= 0.9) \
         .select("unique_id_l", "unique_id_r")
-    member = solve_connected_components(nodes, edges)
-    out["n_clusters"] = member.select("cluster_id").distinct().count()
-    out["t_cluster"] = time.time() - t0
+    cc_times = []
+    for _ in range(2):
+        t0 = time.time()
+        member = solve_connected_components(nodes, edges)
+        out["n_clusters"] = member.select("cluster_id").distinct().count()
+        cc_times.append(time.time() - t0)
+    out["t_cluster_runs"] = [round(t, 3) for t in cc_times]
+    out["t_cluster"] = min(cc_times)
     return out
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.types import StringType
+from pyspark.sql.types import ArrayType, StringType
 
 VOWELS = "AEIOUY"
 
@@ -454,7 +454,29 @@ def with_phonetic_column(df: DataFrame, column: str,
     return df.join(F.broadcast(keys), on=column, how="left")
 
 
+def _qgrams_py(v: str | None, q: int = 2) -> list[str]:
+    if v is None:
+        return []
+    v = v.lower()
+    n = max(len(v) - q + 1, 1)
+    out, seen = [], set()
+    for i in range(n):
+        g = v[i:i + q]
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def qgram_tokeniser_udf(s: pd.Series) -> pd.Series:
+    """SQL-registrable QgramTokeniser (same output as qgram_tokenise's
+    native expression — prefer the expression in DataFrame code)."""
+    return s.apply(_qgrams_py)
+
+
 def register_phonetic_udfs(spark) -> None:
     """SQL names mirroring the reference JAR (spark/jar_location.py:52-62)."""
     spark.udf.register("Dmetaphone", dmetaphone_udf)
     spark.udf.register("DmetaphoneAlt", dmetaphone_alt_udf)
+    spark.udf.register("QgramTokeniser", qgram_tokeniser_udf)

@@ -39,6 +39,8 @@ class SparkLinker:
     ):
         self.spark = spark
         self.settings = settings.with_defaults()
+        # fail fast on missing columns (reference linker.py:316-334)
+        self.settings.validate_against(input_table.columns)
         self._input = input_table
         self.metrics = MetricsLog(
             f"{checkpoint_dir}/lineage.jsonl" if checkpoint_dir else None

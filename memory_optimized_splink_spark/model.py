@@ -187,6 +187,50 @@ class Settings:
             self, comparisons=tuple(c.with_defaults() for c in self.comparisons)
         )
 
+    # ----------------------------------------------------------- validation
+    def columns_used(self) -> set[str]:
+        """Every input column the settings reference (comparisons, TF
+        config, retained columns; bare equi-join blocking keys)."""
+        import re
+
+        cols: set[str] = {self.unique_id_column_name}
+        if self.source_dataset_column_name:
+            cols.add(self.source_dataset_column_name)
+        for comp in self.comparisons:
+            for lv in comp.levels:
+                for c in (lv.column or comp.column, lv.column2,
+                          lv.lat_column, lv.long_column):
+                    if c:
+                        cols.add(c)
+        for rule in self.blocking_rules:
+            for k in (rule.keys or ()):
+                if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", k.strip()):
+                    cols.add(k.strip())
+        cols |= set(self.additional_columns_to_retain)
+        cols |= set(self.tf_columns) | set(self.tf_array_columns)
+        return cols
+
+    def validate_against(self, input_columns: list[str]) -> None:
+        """Cross-check referenced columns against the input table
+        (reference linker.py:316-334 / settings_validation): raise with the
+        full missing list up front instead of failing mid-pipeline. TF join
+        columns (tf_<col>) are derived, so they're exempted."""
+        have = set(input_columns)
+        missing = sorted(
+            c for c in self.columns_used()
+            if c not in have and not (
+                c.startswith("tf_") and c[3:] in have))
+        if missing:
+            raise ValueError(
+                f"settings reference columns missing from the input table: "
+                f"{missing}; input has {sorted(have)}")
+        if self.link_type not in ("dedupe_only", "link_only",
+                                  "link_and_dedupe"):
+            raise ValueError(f"unknown link_type {self.link_type!r}")
+        if not 0.0 < self.probability_two_random_records_match < 1.0:
+            raise ValueError(
+                "probability_two_random_records_match must be in (0, 1)")
+
     # ---------------------------------------------------------------- JSON
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=2, sort_keys=True)

@@ -227,3 +227,24 @@ def test_datasets_registry_end_to_end(spark):
         .select("unique_id", "cluster_id", "cluster")
     f1 = pairwise_cluster_f1(member, truth_col="cluster")
     assert f1["f1"] > 0.9
+
+
+def test_settings_validation_fails_fast(spark, repo_nodes, basic_settings):
+    """Settings referencing a column absent from the input must raise at
+    linker construction with the full missing list (reference
+    linker.py:316-334), not fail mid-pipeline."""
+    from dataclasses import replace
+
+    from memory_optimized_splink_spark.model import (
+        Comparison, ComparisonLevel,
+    )
+
+    bad = replace(basic_settings, comparisons=basic_settings.comparisons + (
+        Comparison("nope", "no_such_column", (
+            ComparisonLevel("null"), ComparisonLevel("exact"),
+            ComparisonLevel("else"))),
+    ))
+    with pytest.raises(ValueError, match="no_such_column"):
+        SparkLinker(spark, repo_nodes, bad)
+    # valid settings construct fine
+    SparkLinker(spark, repo_nodes, basic_settings)

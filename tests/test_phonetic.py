@@ -98,3 +98,26 @@ def test_qgram_tokenise(spark):
     got = [r[0] for r in df.select(qgram_tokenise(F.col("t"), 2)).collect()]
     assert got[0] == ["ab", "bc", "cd"]
     assert got[1] == ["a"]
+
+
+def test_registered_udf_surface(spark):
+    """SQL-callable names mirror the reference JAR registrations."""
+    from memory_optimized_splink_spark.functions.phonetic import (
+        register_phonetic_udfs,
+    )
+    register_phonetic_udfs(spark)
+    row = spark.sql(
+        "select Dmetaphone('smith') p, DmetaphoneAlt('smith') s, "
+        "QgramTokeniser('abcd') q").collect()[0]
+    assert row["p"] == "SM0" and row["s"] == "XMT"
+    assert row["q"] == ["ab", "bc", "cd"]
+    # UDF output equals the native expression
+    from memory_optimized_splink_spark.functions.phonetic import (
+        qgram_tokenise,
+    )
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([("Hello",), ("a",)], "t string")
+    native = [r[0] for r in df.select(qgram_tokenise(F.col("t"))).collect()]
+    viaudf = [r[0] for r in spark.sql(
+        "select QgramTokeniser(t) from {df}", df=df).collect()]
+    assert native == viaudf
