@@ -222,19 +222,35 @@ def gamma_column(comp: Comparison) -> Column:
     return expr.cast("int").alias(comp.gamma_column)
 
 
+def needs_python_metrics(settings: Settings) -> bool:
+    return any(lv.kind in _PYTHON_METRIC_KINDS
+               for comp in settings.comparisons for lv in comp.levels)
+
+
 def compute_comparison_vectors(
     pairs: DataFrame, nodes: DataFrame, settings: Settings,
     retain_columns: bool | None = None,
     python_parallelism: int | None = None,
 ) -> DataFrame:
-    """pairs + nodes -> (uid_l, uid_r, match_key?, gamma_*, [retained])."""
+    """pairs + nodes -> (uid_l, uid_r, match_key?, gamma_*, [retained]).
+
+    When a pandas-UDF metric is present, the NARROW pair table (ids +
+    match_key only) is repartitioned to CPU-sized parallelism before the
+    node joins: a broadcast-join pipeline otherwise arrives at the
+    Arrow/Python stage 1-2 partitions wide and starves every core (observed
+    6x at bench scale). Repartitioning before the joins moves 3 id columns
+    through the shuffle instead of the joined string payload — the
+    downstream metric stage inherits the width through the broadcast joins
+    (a sort-merge join re-shuffles by key to shuffle.partitions, which is
+    CPU-sized by construction)."""
     retain = settings.retain_matching_columns if retain_columns is None \
         else retain_columns
     if python_parallelism is None:
         python_parallelism = 2 * pairs.sparkSession.sparkContext.defaultParallelism
+    if python_parallelism and needs_python_metrics(settings):
+        pairs = pairs.repartition(python_parallelism)
     df = pairs_with_columns(pairs, nodes, settings)
-    df = with_comparison_metrics(df, settings,
-                                 python_parallelism=python_parallelism)
+    df = with_comparison_metrics(df, settings, python_parallelism=None)
     keep = ["unique_id_l", "unique_id_r"]
     if "match_key" in df.columns:
         keep.append("match_key")
