@@ -346,6 +346,77 @@ def q_u_sample(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"))
 
 
+# --- §2.13: realtime find_matches_to_new_records (inference.py:770-926) ------
+
+@q("find_matches_new_records",
+   f"""WITH {RF_CTE},
+newrec AS (
+  SELECT sha256('new' || CAST(doc_id AS VARCHAR)) AS unique_id,
+         repo, path || '_new' AS path, content_sha
+  FROM nodes WHERE doc_id % 50 = 0
+),
+comb AS (
+  SELECT unique_id, repo, path, content_sha, 0 AS ds FROM nodes
+  UNION ALL
+  SELECT unique_id, repo, path, content_sha, 1 FROM newrec
+),
+fm_pairs AS (
+  SELECT '0' AS match_key, l.unique_id AS unique_id_l,
+         r.unique_id AS unique_id_r, l.path AS path_l, r.path AS path_r,
+         l.content_sha AS csha_l, r.content_sha AS csha_r,
+         l.ds + r.ds AS dss
+  FROM comb l JOIN comb r
+    ON l.content_sha = r.content_sha AND l.unique_id < r.unique_id
+  UNION ALL
+  SELECT '1', l.unique_id, r.unique_id, l.path, r.path,
+         l.content_sha, r.content_sha, l.ds + r.ds
+  FROM comb l JOIN comb r
+    ON l.repo = r.repo AND l.unique_id < r.unique_id
+   AND NOT COALESCE(l.content_sha = r.content_sha, FALSE)
+),
+fm_cv AS (
+  SELECT match_key, unique_id_l, unique_id_r,
+    CASE WHEN csha_l IS NULL OR csha_r IS NULL THEN -1
+         WHEN csha_l = csha_r THEN 1 ELSE 0 END AS gamma_content_sha,
+    CASE WHEN path_l IS NULL OR path_r IS NULL THEN -1
+         WHEN path_l = path_r THEN 3
+         WHEN jaro_winkler_similarity(path_l, path_r) >= 0.9401 THEN 2
+         WHEN levenshtein(path_l, path_r) <= 4 THEN 1
+         ELSE 0 END AS gamma_path
+  FROM fm_pairs WHERE dss = 1
+),
+fm_sc AS (
+  SELECT match_key, unique_id_l, unique_id_r, gamma_content_sha, gamma_path,
+    CAST({PRIOR / (1 - PRIOR)!r} AS DOUBLE)
+      * {_bf_case("content_sha")} * {_bf_case("path")} AS bf
+  FROM fm_cv
+)
+SELECT match_key, unique_id_l, unique_id_r, gamma_content_sha, gamma_path,
+  ROUND(log2(bf), 6) AS match_weight,
+  ROUND(bf / (1 + bf), 6) AS match_probability
+FROM fm_sc""")
+def q_find_matches_new_records(spark, sf_dir):
+    """Realtime path THROUGH THE LINKER (find_matches_to_new_records):
+    deterministic new records (each shares content with its entity clique,
+    path perturbed) scored against the node table, cross-dataset pairs
+    only."""
+    from .linker import SparkLinker
+    nodes = nodes_df(spark, sf_dir)
+    new = repo_files(spark, sf_dir).where(F.col("doc_id") % 50 == 0) \
+        .withColumn("path", F.concat(F.col("path"), F.lit("_new")))
+    new = new.withColumn(
+        "unique_id",
+        F.sha2(F.concat(F.lit("new"), F.col("doc_id").cast("string")), 256)) \
+        .withColumn("content_sha", F.sha2(F.col("content"), 256))
+    linker = SparkLinker(spark, nodes, entry_settings())
+    out = linker.find_matches_to_new_records(new)
+    return out.select(
+        "match_key", "unique_id_l", "unique_id_r",
+        "gamma_content_sha", "gamma_path",
+        F.round("match_weight", 6).alias("match_weight"),
+        F.round("match_probability", 6).alias("match_probability"))
+
+
 # --- §2.4/2.12: blocking analysis (skew audit) -------------------------------
 
 @q("largest_blocks",
@@ -421,6 +492,50 @@ SELECT cluster_id, COUNT(*) AS n_members FROM cc_member GROUP BY cluster_id""")
 def q_cluster_sizes(spark, sf_dir):
     from .operators.cluster import cluster_sizes
     return cluster_sizes(q_cluster_membership(spark, sf_dir))
+
+
+def _cc_threshold_ctes(tag: str, threshold: float) -> str:
+    """Recursive min-label CC over predictions >= threshold, md5 ids."""
+    return f"""
+e{tag} AS (SELECT unique_id_l AS s, unique_id_r AS d FROM predictions
+           WHERE match_probability >= {threshold}),
+u{tag} AS (SELECT s, d FROM e{tag} UNION SELECT d, s FROM e{tag}),
+w{tag}(node_id, label) AS (
+  SELECT unique_id, unique_id FROM nodes
+  UNION
+  SELECT u.d, w.label FROM w{tag} w JOIN u{tag} u ON u.s = w.node_id),
+l{tag} AS (SELECT node_id, MIN(label) AS rep FROM w{tag} GROUP BY node_id),
+m{tag} AS (SELECT rep, md5(string_agg(node_id, ',' ORDER BY node_id)) AS cid
+           FROM l{tag} GROUP BY rep)"""
+
+
+_MT_THRESHOLDS = (0.9, 0.995)  # 0.995 drops the 0.98912 edges at sf0.01
+
+
+@q("multi_threshold_clusters",
+   f"""WITH RECURSIVE {PREDICT_CTE},
+{_cc_threshold_ctes("a", _MT_THRESHOLDS[0])},
+{_cc_threshold_ctes("b", _MT_THRESHOLDS[1])}
+SELECT CAST({_MT_THRESHOLDS[0]} AS DOUBLE) AS threshold,
+       la.node_id, ma.cid AS cluster_id
+FROM la JOIN ma USING (rep)
+UNION ALL
+SELECT CAST({_MT_THRESHOLDS[1]} AS DOUBLE), lb.node_id, mb.cid
+FROM lb JOIN mb USING (rep)""")
+def q_multi_threshold_clusters(spark, sf_dir):
+    """Multi-threshold incremental clustering (clustering.py:346-600):
+    membership at threshold t must equal plain CC over edges >= t — the
+    oracle checks that partition identity via md5(sorted members) ids."""
+    from .operators.cluster_extras import cluster_at_multiple_thresholds
+    pred = _spark_predict(spark, sf_dir)
+    nodes = nodes_df(spark, sf_dir)
+    out = cluster_at_multiple_thresholds(
+        nodes, pred, list(_MT_THRESHOLDS), node_col="unique_id")
+    md5 = out.groupBy("threshold", "cluster_id").agg(
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("node_id"))))
+        .alias("_cid"))
+    return out.join(md5, on=["threshold", "cluster_id"]).select(
+        "threshold", "node_id", F.col("_cid").alias("cluster_id"))
 
 
 # --- §2.11: truth space ------------------------------------------------------

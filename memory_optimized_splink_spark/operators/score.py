@@ -168,7 +168,9 @@ def predict(
         out = out.drop(*terms)
     if threshold_match_weight is None and threshold_match_probability is not None:
         p = threshold_match_probability
-        threshold_match_weight = math.log2(prob_to_bayes_factor(p))
+        # p == 0 keeps everything (log2(0) is -inf, i.e. no filter)
+        if p > 0.0:
+            threshold_match_weight = math.log2(prob_to_bayes_factor(p))
     if threshold_match_weight is not None:
         out = out.where(F.col("match_weight") >= F.lit(threshold_match_weight))
     return out
