@@ -88,3 +88,26 @@ def write_output(df: DataFrame, path_or_table: str, fmt: str = "parquet",
         w.format("iceberg").saveAsTable(path_or_table)
     else:
         raise ValueError(fmt)
+
+
+def write_bucketed_nodes(df: DataFrame, table: str, bucket_col: str,
+                         n_buckets: int = 256, mode: str = "overwrite",
+                         sort: bool = True) -> None:
+    """Persist the node table BUCKETED by the pair-join key so repeated
+    candidate->columns joins are co-located: a table bucketed (and sorted)
+    on `unique_id` lets the two-sided id join read both sides pre-hashed —
+    no Exchange on the bucketed side across every downstream stage that
+    joins on the same key (the biggest repeated shuffle in the pipeline at
+    100 TB: the pair table re-joins nodes twice per scoring pass).
+    Hive-bucketed parquet via saveAsTable (bucketBy requires a table, not a
+    bare path)."""
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read back a bucketed table (bucket metadata applies automatically
+    when spark.sql.sources.bucketing.enabled is on, the default)."""
+    return spark.read.table(table)

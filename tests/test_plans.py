@@ -96,3 +96,37 @@ def test_bridges_plan_no_driver_collect(spark):
     plan = _plan(bridges(member, edges))
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_nodes_join_avoids_exchange(spark, repo_nodes, tmp_path):
+    """A node table bucketed on unique_id joins the pair table without an
+    Exchange on the bucketed side (co-located join — the repeated shuffle
+    the bucketing exists to eliminate)."""
+    from pyspark.sql import functions as F
+
+    from memory_optimized_splink_spark.sources.registry import (
+        read_bucketed, write_bucketed_nodes,
+    )
+
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS bucketed_nodes_test")
+    shutil.rmtree("spark-warehouse/bucketed_nodes_test", ignore_errors=True)
+    write_bucketed_nodes(repo_nodes.select("unique_id", "path"),
+                         "bucketed_nodes_test", "unique_id", n_buckets=8)
+    nodes = read_bucketed(spark, "bucketed_nodes_test")
+    pairs = repo_nodes.select(
+        F.col("unique_id").alias("unique_id_l")).limit(500)
+    # force SMJ (a broadcast join would moot bucketing and hide the effect)
+    joined = pairs.hint("merge").join(
+        nodes.withColumnRenamed("unique_id", "unique_id_l"),
+        on="unique_id_l")
+    plan = _plan(joined)
+    assert "Bucketed: true" in plan        # scan reads bucket metadata
+    assert "SelectedBucketsCount" in plan
+    # exactly ONE join-key exchange: the non-bucketed pair side shuffles to
+    # the bucketed side's partitioning; the node table is never re-shuffled
+    import re
+    join_exchanges = re.findall(
+        r"Exchange hashpartitioning\(unique_id_l", plan)
+    assert len(join_exchanges) == 1
