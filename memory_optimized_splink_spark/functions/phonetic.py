@@ -446,17 +446,20 @@ def with_phonetic_column(df: DataFrame, column: str,
                          alternate: bool = False) -> DataFrame:
     """Phonetic key via encode-distinct-then-join (the TF-table shape):
     at scale the UDF runs over the DISTINCT values of `column`, never the
-    full table or the pair table."""
+    full table or the pair table. No broadcast hint — name-like columns are
+    usually small enough that AQE picks a broadcast join at runtime, but a
+    high-cardinality column must be allowed to fall back to a shuffle join
+    instead of blowing the driver."""
     out = out or f"dm_{column}"
     udf = dmetaphone_alt_udf if alternate else dmetaphone_udf
     keys = df.select(column).distinct().select(
         F.col(column), udf(F.col(column)).alias(out))
-    return df.join(F.broadcast(keys), on=column, how="left")
+    return df.join(keys, on=column, how="left")
 
 
-def _qgrams_py(v: str | None, q: int = 2) -> list[str]:
+def _qgrams_py(v: str | None, q: int = 2) -> list[str] | None:
     if v is None:
-        return []
+        return None  # match the native expression's NULL-in-NULL-out
     v = v.lower()
     n = max(len(v) - q + 1, 1)
     out, seen = [], set()

@@ -82,7 +82,13 @@ class SparkLinker:
     def nodes(self) -> DataFrame:
         if self._nodes is None:
             def build():
+                from .operators.vectors import ensure_phonetic_columns
+
                 df, tf = join_tf_columns(self._input, self.settings)
+                # phonetic keys are encoded ONCE here (distinct values ->
+                # join back), so the pair-scoring plan has no Python stage
+                # from phonetic levels
+                df = ensure_phonetic_columns(df, self.settings)
                 self._tf_tables = tf
                 return df
             self._nodes = self.registry.stage("nodes", self._config(), build)

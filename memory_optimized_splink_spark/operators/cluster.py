@@ -258,7 +258,13 @@ def bridges(membership: DataFrame, edges: DataFrame,
         out["is_bridge"] = is_bridge if len(pdf) <= max_cluster_edges else None
         return out[["cluster_id", edge_l, edge_r, "is_bridge"]]
 
-    schema = (f"cluster_id string, {edge_l} string, {edge_r} string, "
+    # derive the output schema from the INPUT types: long/int node ids (the
+    # compacted-long CC path) must come back out as the same type, not a
+    # hardcoded string (an Arrow type mismatch otherwise fails at runtime)
+    types = dict(zip(e.columns, [f.dataType.simpleString()
+                                 for f in e.schema.fields]))
+    schema = (f"cluster_id {types['cluster_id']}, "
+              f"{edge_l} {types[edge_l]}, {edge_r} {types[edge_r]}, "
               "is_bridge boolean")
     return e.groupBy("cluster_id").applyInPandas(find_bridges, schema=schema)
 

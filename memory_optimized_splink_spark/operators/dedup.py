@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 # Mersenne prime for the affine minhash family. 2^31-1 keeps a*h < 2^62 so
@@ -67,21 +69,123 @@ def _minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
             for _ in range(num_hashes)]
 
 
+# ------------------------- vectorized shingle hashing (numpy XXH64, Arrow)
+
+_XXP1 = np.uint64(0x9E3779B185EBCA87)
+_XXP2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XXP3 = np.uint64(0x165667B19E3779F9)
+_XXP4 = np.uint64(0x85EBCA77C2B2AE63)
+_XXP5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    r = np.uint64(r)
+    return (x << r) | (x >> (np.uint64(64) - r))
+
+
+def _xxhash64_windows(W: np.ndarray, seed: int = 42) -> np.ndarray:
+    """XXH64 of each ROW of a (n, k) uint8 matrix, k < 32 — bit-identical to
+    Spark's `xxhash64` (seed 42, little-endian loads) on the same bytes,
+    verified by fuzz in tests. Vectorized over the n windows; the loops are
+    over the k byte positions only (k is the shingle size, a small
+    constant), so hashing a document is a handful of numpy passes instead of
+    one interpreted lambda call per character position."""
+    n, k = W.shape
+    if k >= 32:
+        raise ValueError("windowed XXH64 supports k < 32 (no main loop)")
+    h = np.full(n, np.uint64(seed) + _XXP5 + np.uint64(k), dtype=np.uint64)
+    i = 0
+    while i + 8 <= k:
+        chunk = np.zeros(n, np.uint64)
+        for b in range(8):
+            chunk |= W[:, i + b].astype(np.uint64) << np.uint64(8 * b)
+        h ^= _rotl64(chunk * _XXP2, 31) * _XXP1
+        h = _rotl64(h, 27) * _XXP1 + _XXP4
+        i += 8
+    if i + 4 <= k:
+        u32 = np.zeros(n, np.uint64)
+        for b in range(4):
+            u32 |= W[:, i + b].astype(np.uint64) << np.uint64(8 * b)
+        h ^= u32 * _XXP1
+        h = _rotl64(h, 23) * _XXP2 + _XXP3
+        i += 4
+    while i < k:
+        h ^= W[:, i].astype(np.uint64) * _XXP5
+        h = _rotl64(h, 11) * _XXP1
+        i += 1
+    h ^= h >> np.uint64(33)
+    h *= _XXP2
+    h ^= h >> np.uint64(29)
+    h *= _XXP3
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def _doc_shingle_hashes(text: str, k: int) -> list[int]:
+    """Distinct pmod(xxhash64(shingle), 2^31-1) values of a doc's character
+    k-shingles (byte windows of the lowercased UTF-8 text — identical to the
+    SQL substr path on ASCII). numpy sliding windows, no per-char Python."""
+    b = np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8)
+    if len(b) <= k:
+        W = b.reshape(1, -1)
+    else:
+        W = np.lib.stride_tricks.sliding_window_view(b, k)
+    h = np.unique(_xxhash64_windows(W))
+    return (h.view(np.int64) % np.int64(_MERSENNE)).tolist()
+
+
+def _hashed_shingles_udf(k: int):
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _hashes(s: pd.Series) -> pd.Series:
+        return s.apply(
+            lambda v: None if v is None else _doc_shingle_hashes(v, k))
+
+    return _hashes
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       num_hashes: int = 64, k: int = 5, seed: int = 42
-                       ) -> DataFrame:
+                       num_hashes: int = 64, k: int = 5, seed: int = 42,
+                       shingle_impl: str = "arrow",
+                       python_parallelism: int | None = None) -> DataFrame:
     """(id, sig array<bigint>) MinHash signatures over character k-shingles.
 
-    Shape matters at scale: shingles are EXPLODED to rows and hashed with
-    codegen'd xxhash64, then min-aggregated per doc — higher-order array
-    lambdas (transform/aggregate) are interpreted per element in Spark and
-    are ~100x slower for wide signatures. One explode + one groupBy shuffle.
+    Shape matters at scale: shingles are EXPLODED to rows and min-aggregated
+    per doc — higher-order array lambdas (transform/aggregate) are
+    interpreted per element in Spark and are ~100x slower for wide
+    signatures. One explode + one groupBy shuffle.
+
+    shingle generation+hashing (`shingle_impl`):
+    - "arrow" (default): numpy sliding byte windows hashed with a
+      bit-identical XXH64 inside a pandas UDF — one vectorized pass per doc
+      instead of an interpreted substr lambda per character position (the
+      round-2 bench's dominant minhash cost on multi-KB docs). Byte-based:
+      equals the SQL path on ASCII text.
+    - "sql": the original codegen path (substr transform -> explode ->
+      xxhash64) — char-based, kept for non-ASCII exactness and as the
+      equality oracle for the arrow path.
     """
     coeffs = _minhash_coeffs(num_hashes, seed)
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(_shingles(F.col(text_col), k)).alias("_s"),
-    ).withColumn("_h", F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE)))
+    if shingle_impl == "arrow":
+        narrow = df.select(F.col(id_col).alias("_id"),
+                           F.col(text_col).alias("_t"))
+        # python_parallelism: opt-in repartition for inputs that arrive
+        # fewer partitions wide than the cores the Arrow stage could use
+        # (e.g. one giant unsplittable file). Off by default: at corpus
+        # scale the scan is already thousands of partitions wide, and the
+        # extra id+text shuffle measurably hurts small inputs.
+        if python_parallelism:
+            narrow = narrow.repartition(python_parallelism)
+        sh = narrow.select(
+            "_id",
+            F.explode(_hashed_shingles_udf(k)(F.col("_t"))).alias("_h"),
+        )
+    else:
+        sh = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(_shingles(F.col(text_col), k)).alias("_s"),
+        ).withColumn("_h", F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE)))
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_MERSENNE)))
         .alias(f"_m{i}")
@@ -125,6 +229,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     seed: int = 42,
     max_bucket_size: Optional[int] = 10_000,
+    shingle_impl: str = "arrow",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
@@ -135,7 +240,8 @@ def minhash_lsh_pairs(
     cap_bucket_sizes; None disables). Output: (id_l, id_r, n_common_bands).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k,
+                             seed, shingle_impl=shingle_impl)
     banded = sig.select(
         "_id",
         F.posexplode(
@@ -264,49 +370,85 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
 
 # ------------------------------------------------- embedding near-duplicate
 
+def srp_band_keys(vec_col: Column, planes, bands: int) -> Column:
+    """Banded sign-random-projection sketch: `planes` is a
+    (bands*planes_per_band, dim) matrix; returns array<long> of `bands` band
+    keys, key b packing that band's sign bits. One numpy matmul per Arrow
+    batch — the plane matrix ships in the UDF closure (data, not plan),
+    mirroring ann._centroid_assign_arrow."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    P = np.asarray(planes, dtype=np.float64)
+    r = P.shape[0] // bands
+    weights = (np.int64(1) << np.arange(r, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _keys(v: pd.Series) -> pd.Series:
+        X = np.stack(
+            v.apply(lambda x: np.asarray(x, dtype=np.float64)).to_numpy())
+        bits = (X @ P.T) > 0                       # (n, bands*r)
+        keys = np.stack(
+            [bits[:, b * r:(b + 1) * r] @ weights for b in range(bands)],
+            axis=1,
+        ).astype(np.int64)                          # (n, bands)
+        return pd.Series(list(keys))
+
+    return _keys(vec_col)
+
+
 def embedding_cosine_pairs(
     df: DataFrame, id_col: str, vec_col: str,
-    threshold: float = 0.95, n_planes: int = 16, seed: int = 7,
+    threshold: float = 0.95, n_planes: int = 8, bands: int = 6, seed: int = 7,
     max_bucket_size: Optional[int] = 10_000,
 ) -> DataFrame:
-    """Near-dup pairs by embedding cosine, blocked by a random-hyperplane
-    (SRP-LSH) sketch so the verify join is an equi-join, not a cross join.
-    Exact cosine verification via native zip_with/aggregate. Sketch buckets
-    above `max_bucket_size` are dropped before the self-join (a degenerate
-    bucket — e.g. all-zero embeddings landing on one sketch — is quadratic)."""
-    import numpy as np
+    """Near-dup pairs by embedding cosine, blocked by a BANDED
+    random-hyperplane (SRP-LSH) sketch so the verify join is an equi-join,
+    not a cross join. A pair is a candidate when ANY of the `bands` bands
+    (of `n_planes` sign bits each) agrees exactly — the same OR-of-ANDs
+    recall amplification as the minhash/simhash paths. With the defaults
+    (8 planes x 6 bands), P(candidate) at cosine 0.95 is
+    1-(1-p^8)^6 ~ 0.96 where p = 1 - acos(0.95)/pi ~ 0.90; a single
+    48-plane sketch would be ~0.006.
+
+    Exact cosine verification via native zip_with/aggregate on the verified
+    candidates only. Sketch buckets above `max_bucket_size` are dropped per
+    (band_id, band_key) before the self-join (a degenerate bucket — e.g.
+    all-zero embeddings landing on one key — is quadratic). The band join is
+    NARROW (id + band key only); vectors are joined back for verification.
+    """
+    from .ann import cosine_expr
 
     dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    plane_lits = [F.array(*[F.lit(float(x)) for x in p]) for p in planes]
+    planes = rng.standard_normal((bands * n_planes, dim))
 
-    def dot(a: Column, b: Column) -> Column:
-        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                           F.lit(0.0), lambda acc, v: acc + v)
-
-    sketch_bits = [
-        F.when(dot(F.col(vec_col).cast("array<double>"), pl) > 0, F.lit(1 << i))
-        .otherwise(F.lit(0)).cast("long")
-        for i, pl in enumerate(plane_lits)
-    ]
-    sk = sketch_bits[0]
-    for b in sketch_bits[1:]:
-        sk = sk.bitwiseOR(b)
-    base = df.select(F.col(id_col).alias("_id"),
-                     F.col(vec_col).cast("array<double>").alias("_v"),
-                     sk.alias("_sketch"))
-    base = cap_bucket_sizes(base, ["_sketch"], max_bucket_size)
-    l, r = base.alias("l"), base.alias("r")
-    cos = dot(F.col("l._v"), F.col("r._v")) / (
-        F.sqrt(dot(F.col("l._v"), F.col("l._v")))
-        * F.sqrt(dot(F.col("r._v"), F.col("r._v")))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        srp_band_keys(F.col(vec_col).cast("array<double>"), planes, bands)
+        .alias("_keys"),
     )
-    return (
-        l.join(r, (F.col("l._sketch") == F.col("r._sketch"))
+    banded = base.select(
+        "_id", F.posexplode("_keys").alias("band_id", "band_key"))
+    banded = cap_bucket_sizes(banded, ["band_id", "band_key"],
+                              max_bucket_size)
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, (F.col("l.band_id") == F.col("r.band_id"))
+               & (F.col("l.band_key") == F.col("r.band_key"))
                & (F.col("l._id") < F.col("r._id")))
-        .select(F.col("l._id").alias("id_l"), F.col("r._id").alias("id_r"),
-                cos.alias("cosine"))
+        .select(F.col("l._id").alias("id_l"), F.col("r._id").alias("id_r"))
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("_vid"),
+                     F.col(vec_col).cast("array<double>").alias("_v"))
+    return (
+        cand
+        .join(vecs.select(F.col("_vid").alias("id_l"),
+                          F.col("_v").alias("_v_l")), on="id_l")
+        .join(vecs.select(F.col("_vid").alias("id_r"),
+                          F.col("_v").alias("_v_r")), on="id_r")
+        .select("id_l", "id_r",
+                cosine_expr(F.col("_v_l"), F.col("_v_r")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 

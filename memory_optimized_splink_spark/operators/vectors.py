@@ -56,10 +56,43 @@ def _metric_expr(kind: str, l: Column, r: Column) -> Column:
     raise ValueError(kind)
 
 
+def phonetic_requirements(settings: Settings) -> list[tuple[str, str, bool]]:
+    """(source_col, derived_col, alternate) for every phonetic level.
+    Phonetic codes are attributes of VALUES, not pairs: they are encoded
+    once per distinct node value (functions.phonetic.with_phonetic_column)
+    and the level becomes a native column equality on the pair table — the
+    per-string state-machine UDF never runs per pair."""
+    out: list[tuple[str, str, bool]] = []
+    for comp in settings.comparisons:
+        for lv in comp.levels:
+            if lv.kind in ("dmetaphone", "dmetaphone_alt"):
+                c = lv.column or comp.column
+                if (c, f"dm_{c}", False) not in out:
+                    out.append((c, f"dm_{c}", False))
+                if lv.kind == "dmetaphone_alt" and \
+                        (c, f"dmalt_{c}", True) not in out:
+                    out.append((c, f"dmalt_{c}", True))
+    return out
+
+
+def ensure_phonetic_columns(nodes: DataFrame, settings: Settings) -> DataFrame:
+    """Add any missing dm_*/dmalt_* columns via encode-distinct-then-join.
+    No-op when the node build already materialized them (the linker path)."""
+    from ..functions.phonetic import with_phonetic_column
+
+    for col, out, alternate in phonetic_requirements(settings):
+        if out not in nodes.columns:
+            nodes = with_phonetic_column(nodes, col, out=out,
+                                         alternate=alternate)
+    return nodes
+
+
 def columns_needed(settings: Settings) -> list[str]:
     """Minimal node-column set for the pair join (explicit pruning,
     ref settings.py:399-511)."""
     cols: list[str] = []
+    for _, derived, _ in phonetic_requirements(settings):
+        cols.append(derived)
     for comp in settings.comparisons:
         for lv in comp.levels:
             c = lv.column or comp.column
@@ -176,14 +209,15 @@ def _level_condition(comp: Comparison, lv: ComparisonLevel) -> Column:
         return dist_km <= F.lit(lv.threshold)
     if lv.kind == "dmetaphone":
         # phonetic equality on the primary Double Metaphone code
-        # (reference Scala UDF Dmetaphone, spark/jar_location.py:52-58)
-        from ..functions.phonetic import dmetaphone_udf
-        return dmetaphone_udf(l) == dmetaphone_udf(r)
+        # (reference Scala UDF Dmetaphone, spark/jar_location.py:52-58).
+        # dm_<col> is precomputed on the NODE table (encode-distinct-join,
+        # ensure_phonetic_columns) so this is a native column equality —
+        # the state-machine encoder never runs on the pair table.
+        return F.col(f"dm_{c}_l") == F.col(f"dm_{c}_r")
     if lv.kind == "dmetaphone_alt":
         # match if either the primary or the alternate codes agree
-        from ..functions.phonetic import dmetaphone_alt_udf, dmetaphone_udf
-        return (dmetaphone_udf(l) == dmetaphone_udf(r)) | \
-            (dmetaphone_alt_udf(l) == dmetaphone_alt_udf(r))
+        return (F.col(f"dm_{c}_l") == F.col(f"dm_{c}_r")) | \
+            (F.col(f"dmalt_{c}_l") == F.col(f"dmalt_{c}_r"))
     if lv.kind == "qgram_jaccard":
         # q-gram token-set Jaccard (QgramTokeniser equivalent)
         from ..functions.phonetic import qgram_tokenise
@@ -249,6 +283,7 @@ def compute_comparison_vectors(
         python_parallelism = 2 * pairs.sparkSession.sparkContext.defaultParallelism
     if python_parallelism and needs_python_metrics(settings):
         pairs = pairs.repartition(python_parallelism)
+    nodes = ensure_phonetic_columns(nodes, settings)
     df = pairs_with_columns(pairs, nodes, settings)
     df = with_comparison_metrics(df, settings, python_parallelism=None)
     keep = ["unique_id_l", "unique_id_r"]

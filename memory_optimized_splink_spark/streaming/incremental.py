@@ -90,18 +90,19 @@ def streaming_entity_assignment(
             mapping = dict(zip(shas, ids))
         else:
             mapping = {}
-        chunks = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(id_col)  # deterministic first-seen
-            ents = []
-            for sha, uid in zip(pdf[sha_col], pdf[id_col]):
-                if sha not in mapping:
-                    mapping[sha] = uid
-                ents.append(mapping[sha])
-            pdf = pdf.assign(entity_id=pd.Series(ents, index=pdf.index))
-            chunks.append(pdf[[key_col, id_col, sha_col, "entity_id"]])
+        # a group's micro-batch may arrive as SEVERAL Arrow chunks:
+        # concatenate before sorting, otherwise "min id within the batch"
+        # would only hold per-chunk (first-seen across chunks is arbitrary)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(id_col)  # deterministic first-seen
+        ents = []
+        for sha, uid in zip(pdf[sha_col], pdf[id_col]):
+            if sha not in mapping:
+                mapping[sha] = uid
+            ents.append(mapping[sha])
+        pdf = pdf.assign(entity_id=pd.Series(ents, index=pdf.index))
         state.update((list(mapping.keys()), list(mapping.values())))
-        yield from chunks
+        yield pdf[[key_col, id_col, sha_col, "entity_id"]]
 
     return stream.groupBy(key_col).applyInPandasWithState(
         assign, out_schema, state_schema, "append", "NoTimeout")

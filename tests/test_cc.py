@@ -124,6 +124,24 @@ def test_bridges_vs_networkx(spark, seed):
     assert len(out) == len(pdf)
 
 
+def test_bridges_long_node_ids(spark):
+    """Schema is derived from input types: long ids (the compacted-long CC
+    path) must round-trip, not hit an Arrow string/long mismatch."""
+    from memory_optimized_splink_spark.operators.cluster import (
+        bridges, solve_connected_components,
+    )
+
+    rows = [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(rows, "unique_id_l long, unique_id_r long")
+    nodes = spark.createDataFrame(
+        [(n,) for n in (1, 2, 3, 10, 11, 12)], "unique_id long")
+    member = solve_connected_components(nodes, edges)
+    got = {(r["unique_id_l"], r["unique_id_r"]): r["is_bridge"]
+           for r in bridges(member, edges).collect()}
+    assert got[(1, 2)] and got[(2, 3)]
+    assert not any(got[e] for e in [(10, 11), (11, 12), (10, 12)])
+
+
 def test_bridges_path_and_cycle(spark):
     from memory_optimized_splink_spark.operators.cluster import (
         bridges, solve_connected_components,

@@ -152,6 +152,87 @@ def test_embedding_bucket_cap(spark):
     assert n_unc == 40 * 39 // 2 and n_cap == 0
 
 
+def test_numpy_xxhash64_matches_spark(spark):
+    """The arrow shingle path's windowed XXH64 must be bit-identical to
+    Spark's xxhash64 on the same bytes (all tail paths: 8-byte chunk,
+    4-byte word, byte loop, empty input)."""
+    import random
+
+    import numpy as np
+
+    from memory_optimized_splink_spark.operators.dedup import (
+        _xxhash64_windows,
+    )
+
+    rng = random.Random(1)
+    strings = [""] + [
+        "".join(rng.choice("abcdefghij klmnop.z") for _ in range(L))
+        for L in range(1, 20) for _ in range(4)
+    ]
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    want = {r["s"]: r["h"]
+            for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for s in strings:
+        b = np.frombuffer(s.encode(), dtype=np.uint8).reshape(1, -1)
+        mine = int(_xxhash64_windows(b)[0].view(np.int64))
+        assert mine == want[s], repr(s)
+
+
+def test_arrow_shingles_equal_sql_signatures(spark):
+    """arrow (numpy byte-window) and sql (interpreted substr lambda) shingle
+    paths must produce IDENTICAL minhash signatures on ASCII text, including
+    the short-doc and empty-doc edge cases."""
+    from memory_optimized_splink_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        DOCS + [("e1", ""), ("e2", "ab"), ("e3", "abcde"), ("e4", "abcdef"),
+                ("e5", "AAAAAAAAAA"), ("e6", "Mixed CASE and  spaces  ")],
+        "doc_id string, text string")
+    sqlp = {r["_id"]: r["_sig"] for r in minhash_signatures(
+        docs, "doc_id", "text", shingle_impl="sql").collect()}
+    arrow = {r["_id"]: r["_sig"] for r in minhash_signatures(
+        docs, "doc_id", "text", shingle_impl="arrow").collect()}
+    assert arrow == sqlp and len(arrow) == len(DOCS) + 6
+
+
+def test_embedding_srp_banded_recall(spark):
+    """Banded SRP must recover >=90% of true cosine>=0.95 pairs (the
+    single-sketch round-2 path had ~18% recall by construction). Truth is
+    numpy brute force over planted near-dups."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim = 64
+    base = rng.standard_normal((150, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs, ids = [], []
+    for i, v in enumerate(base):
+        nd = v + 0.03 * rng.standard_normal(dim)
+        nd /= np.linalg.norm(nd)
+        vecs += [v, nd]
+        ids += [f"b{i:03d}", f"n{i:03d}"]
+    X = np.stack(vecs)
+    sims = X @ X.T
+    truth = {
+        tuple(sorted((ids[i], ids[j])))
+        for i in range(len(ids)) for j in range(i + 1, len(ids))
+        if sims[i, j] >= 0.95
+    }
+    assert len(truth) >= 100  # planted pairs actually are near-dups
+
+    df = spark.createDataFrame(
+        [(ids[i], [float(x) for x in X[i]]) for i in range(len(ids))],
+        "vec_id string, embedding array<double>")
+    got = {tuple(sorted((r["id_l"], r["id_r"])))
+           for r in embedding_cosine_pairs(df, "vec_id", "embedding",
+                                           threshold=0.95).collect()}
+    assert not got - truth  # exact-cosine verify: no false positives
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"banded SRP recall {recall:.3f} < 0.9"
+
+
 def test_near_dedup_cluster_id_is_min_member(spark):
     docs = spark.createDataFrame(DOCS, "doc_id string, text string")
     out = near_dedup_from_import(docs)

@@ -98,6 +98,53 @@ def test_bridges_plan_no_driver_collect(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_phonetic_level_plan_has_no_python_on_pairs(spark):
+    """A dmetaphone level must NOT put a Python stage in the pair-scoring
+    plan: dm codes are precomputed on the node table (encode-distinct-join)
+    and the level is a native column equality. With dm_* already on the
+    nodes the whole cv plan is Python-free."""
+    from memory_optimized_splink_spark.functions.phonetic import (
+        with_phonetic_column,
+    )
+    from memory_optimized_splink_spark.model import (
+        Comparison, ComparisonLevel, Settings, block_on,
+    )
+    from memory_optimized_splink_spark.operators.blocking import (
+        block_using_rules,
+    )
+    from memory_optimized_splink_spark.operators.vectors import (
+        compute_comparison_vectors, needs_python_metrics,
+    )
+
+    rows = [(str(i), "k", n) for i, n in
+            enumerate(["smith", "smyth", "jones", "jonas"])]
+    df = spark.createDataFrame(rows, "unique_id string, k string, name string")
+    s = Settings(
+        comparisons=(
+            Comparison("name", "name", (
+                ComparisonLevel("null"),
+                ComparisonLevel("exact", m=0.9, u=0.01),
+                ComparisonLevel("dmetaphone", m=0.5, u=0.05),
+                ComparisonLevel("else", m=0.1, u=0.9),
+            )),
+        ),
+        blocking_rules=(block_on("k"),),
+        probability_two_random_records_match=0.1,
+    )
+    assert not needs_python_metrics(s)  # no per-pair Python repartition
+    # lazy node lineage: the encoder may appear in the plan, but only over
+    # bare node values (the distinct-encode side), never over pair columns
+    cv = compute_comparison_vectors(block_using_rules(df, s), df, s)
+    for line in _plan(cv).splitlines():
+        if "ArrowEvalPython" in line or "BatchEvalPython" in line:
+            assert "_l#" not in line and "_r#" not in line, line
+    # materialized node stage (the linker checkpoint path): Python-free plan
+    nodes = with_phonetic_column(df, "name").localCheckpoint()
+    cv = compute_comparison_vectors(block_using_rules(nodes, s), nodes, s)
+    plan = _plan(cv)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_bucketed_nodes_join_avoids_exchange(spark, repo_nodes, tmp_path):
     """A node table bucketed on unique_id joins the pair table without an
     Exchange on the bucketed side (co-located join — the repeated shuffle
