@@ -157,6 +157,111 @@ def waterfall_chart_data(rows: list[dict[str, Any]], settings: Settings
     return out
 
 
+# ------------------------------------------------------- Vega-Lite specs
+# The reference renders these with Altair (charts.py:73-110); the engine
+# emits plain Vega-Lite v5 dicts over the record layer above — no chart
+# dependency, directly renderable by any Vega front-end / notebook.
+
+_VL_SCHEMA = "https://vega.github.io/schema/vega-lite/v5.json"
+
+
+def _vegalite(title: str, values: list[dict], mark, encoding: dict,
+              **extra) -> dict:
+    return {"$schema": _VL_SCHEMA, "title": title,
+            "data": {"values": values}, "mark": mark,
+            "encoding": encoding, **extra}
+
+
+def match_weights_chart_spec(settings: Settings) -> dict:
+    """Rendered-spec equivalent of the reference's match_weights_chart: one
+    bar per comparison level (log2 Bayes factor), row-faceted by
+    comparison."""
+    return _vegalite(
+        "Model parameters (match weights)",
+        match_weights_chart_data(settings),
+        {"type": "bar"},
+        {
+            "x": {"field": "log2_bayes_factor", "type": "quantitative",
+                  "title": "Match weight (log2 Bayes factor)"},
+            "y": {"field": "label_for_charts", "type": "nominal",
+                  "sort": None, "title": None},
+            "row": {"field": "comparison_name", "type": "nominal",
+                    "sort": None},
+            "color": {"field": "log2_bayes_factor", "type": "quantitative",
+                      "scale": {"scheme": "redyellowgreen", "domainMid": 0},
+                      "legend": None},
+            "tooltip": [
+                {"field": "comparison_name"}, {"field": "label_for_charts"},
+                {"field": "m_probability"}, {"field": "u_probability"},
+                {"field": "bayes_factor"}, {"field": "log2_bayes_factor"},
+            ],
+        },
+        resolve={"scale": {"y": "independent"}},
+    )
+
+
+def m_u_parameters_chart_spec(settings: Settings) -> dict:
+    """m/u probability bars, column-faceted by probability type."""
+    return _vegalite(
+        "m and u probabilities",
+        m_u_parameters_chart_data(settings),
+        {"type": "bar"},
+        {
+            "x": {"field": "probability", "type": "quantitative"},
+            "y": {"field": "label_for_charts", "type": "nominal",
+                  "sort": None, "title": None},
+            "row": {"field": "comparison_name", "type": "nominal",
+                    "sort": None},
+            "column": {"field": "probability_type", "type": "nominal"},
+            "tooltip": [{"field": "comparison_name"},
+                        {"field": "label_for_charts"},
+                        {"field": "probability"}],
+        },
+        resolve={"scale": {"y": "independent"}},
+    )
+
+
+def waterfall_chart_spec(pair_records: list[dict]) -> dict:
+    """Waterfall decomposition of ONE scored pair (the reference's
+    waterfall_chart): floating bars from cumulative match weight, built with
+    Vega-Lite window/calculate transforms over the record layer
+    (waterfall_chart_data()[i])."""
+    spec = _vegalite(
+        "Match weight waterfall",
+        pair_records,
+        {"type": "bar"},
+        {
+            "x": {"field": "column_name", "type": "nominal", "sort": None,
+                  "title": None},
+            "y": {"field": "bar_bottom", "type": "quantitative",
+                  "title": "Cumulative match weight"},
+            "y2": {"field": "bar_top"},
+            "color": {"field": "log2_bayes_factor", "type": "quantitative",
+                      "scale": {"scheme": "redyellowgreen", "domainMid": 0},
+                      "legend": None},
+            "tooltip": [
+                {"field": "column_name"}, {"field": "label_for_charts"},
+                {"field": "value_l"}, {"field": "value_r"},
+                {"field": "bayes_factor"}, {"field": "log2_bayes_factor"},
+            ],
+        },
+    )
+    # the Final score record is the total, not an increment: anchor it at 0
+    spec["transform"] = [
+        {"window": [{"op": "sum", "field": "log2_bayes_factor",
+                     "as": "bar_top"}],
+         "sort": [{"field": "bar_sort_order"}],
+         "frame": [None, 0]},
+        {"calculate": "datum.column_name === 'Final score' ? 0 : "
+                      "datum.bar_top - datum.log2_bayes_factor",
+         "as": "bar_bottom"},
+        {"calculate": "datum.column_name === 'Final score' ? "
+                      "datum.log2_bayes_factor : datum.bar_top",
+         "as": "bar_top"},
+    ]
+    return spec
+
+
 def cluster_studio_data(membership: DataFrame, edges: DataFrame,
                         sample_clusters: int = 10,
                         edge_l: str = "unique_id_l",

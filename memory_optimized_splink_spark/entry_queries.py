@@ -593,6 +593,117 @@ def q_truth_space(spark, sf_dir):
         F.round(F.col("tp") / F.lit(max(total_p, 1.0)), 6).alias("recall"))
 
 
+LABELS_COLUMN_TS_SQL = f"""WITH {RF_CTE},
+nl AS (SELECT n.*, 'e' || CAST(doc_id - (doc_id % 5) AS VARCHAR) AS label
+       FROM nodes n),
+pairs3 AS (
+  SELECT '0' AS match_key, l.path AS path_l, r.path AS path_r,
+         l.content_sha AS csha_l, r.content_sha AS csha_r,
+         l.label AS label_l, r.label AS label_r
+  FROM nl l JOIN nl r ON l.content_sha = r.content_sha
+  WHERE l.unique_id < r.unique_id
+  UNION ALL
+  SELECT '1', l.path, r.path, l.content_sha, r.content_sha, l.label, r.label
+  FROM nl l JOIN nl r ON l.repo = r.repo
+  WHERE l.unique_id < r.unique_id
+    AND NOT COALESCE(l.content_sha = r.content_sha, FALSE)
+  UNION ALL
+  SELECT '2', l.path, r.path, l.content_sha, r.content_sha, l.label, r.label
+  FROM nl l JOIN nl r ON l.label = r.label
+  WHERE l.unique_id < r.unique_id
+    AND NOT (COALESCE(l.content_sha = r.content_sha, FALSE)
+             OR COALESCE(l.repo = r.repo, FALSE))
+),
+cv3 AS (
+  SELECT match_key, label_l, label_r,
+    CASE WHEN csha_l IS NULL OR csha_r IS NULL THEN -1
+         WHEN csha_l = csha_r THEN 1 ELSE 0 END AS gamma_content_sha,
+    CASE WHEN path_l IS NULL OR path_r IS NULL THEN -1
+         WHEN path_l = path_r THEN 3
+         WHEN jaro_winkler_similarity(path_l, path_r) >= 0.9401 THEN 2
+         WHEN levenshtein(path_l, path_r) <= 4 THEN 1
+         ELSE 0 END AS gamma_path
+  FROM pairs3
+),
+scored3 AS (
+  SELECT match_key, label_l, label_r,
+    CAST({PRIOR / (1 - PRIOR)!r} AS DOUBLE)
+      * {_bf_case("content_sha")} * {_bf_case("path")} AS bf
+  FROM cv3
+),
+lp AS (
+  SELECT CASE WHEN match_key <> '2' THEN log2(bf)
+              ELSE CAST(-999 AS DOUBLE) END AS t,
+         CASE WHEN label_l = label_r THEN 1 ELSE 0 END AS is_pos
+  FROM scored3
+),
+per AS (SELECT t, SUM(is_pos) AS pos_at_t, SUM(1 - is_pos) AS neg_at_t,
+               COUNT(*) AS n_at_t FROM lp GROUP BY t),
+tot AS (
+  SELECT CAST(SUM(is_pos) AS DOUBLE) AS p,
+         CAST(SUM(1 - is_pos) AS DOUBLE) AS nf,
+         (SELECT CAST(COUNT(*) AS DOUBLE) FROM nl) AS nn
+  FROM lp
+),
+stats AS (
+  SELECT t,
+    CAST(SUM(pos_at_t) OVER wdesc AS DOUBLE) AS tp,
+    CAST(SUM(n_at_t) OVER wdesc - SUM(pos_at_t) OVER wdesc AS DOUBLE) AS fp,
+    CAST(SUM(n_at_t) OVER wasc - n_at_t
+         - (SUM(neg_at_t) OVER wasc - neg_at_t) AS DOUBLE) AS fn,
+    CAST(SUM(neg_at_t) OVER wasc - neg_at_t AS DOUBLE) AS tn_base
+  FROM per
+  WINDOW wdesc AS (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wasc AS (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT ROUND(t, 6) AS truth_threshold, tp, fp, fn,
+  tn_base + (nn * (nn - 1) / 2 - p - nf) AS tn,
+  ROUND(CASE WHEN tp + fp = 0 THEN 1.0 ELSE tp / (tp + fp) END, 6)
+    AS precision,
+  ROUND(tp / GREATEST(p, 1.0), 6) AS recall,
+  ROUND(2 * tp / GREATEST(2 * tp + fn + fp, 1.0), 6) AS f1
+FROM stats, tot
+WHERE t >= -998"""
+
+
+@q("truth_space_labels_column", LABELS_COLUMN_TS_SQL)
+def q_truth_space_labels_column(spark, sf_dir):
+    """Truth space from a ground-truth cluster COLUMN (reference
+    accuracy.py:337-404): the model's rules are extended with an equi rule
+    on the label column; pairs found only there score -999 and never-
+    generated label pairs enter as implicit (ghost) true negatives."""
+    from .linker import SparkLinker
+
+    nodes = nodes_df(spark, sf_dir).withColumn(
+        "label", F.concat(F.lit("e"), (F.col("doc_id")
+                                       - F.col("doc_id") % 5).cast("string")))
+    lk = SparkLinker(spark, nodes, entry_settings())
+    ts = lk.truth_space_from_labels_column("label")
+    return ts.select(
+        F.round("truth_threshold", 6).alias("truth_threshold"),
+        "tp", "fp", "fn", "tn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+@q("blocking_pairs_salted",
+   f"WITH {PAIRS_CTE} SELECT match_key, unique_id_l, unique_id_r FROM pairs")
+def q_blocking_pairs_salted(spark, sf_dir):
+    """Static salting is a pure parallelism transform: a rule with
+    salting_partitions=4 (and NO hot-key threshold) must produce the exact
+    pair set of the unsalted plain-SQL oracle."""
+    from dataclasses import replace
+
+    s = entry_settings()
+    s = replace(s, blocking_rules=tuple(
+        replace(r, salting_partitions=4) for r in s.blocking_rules))
+    return block_using_rules(nodes_df(spark, sf_dir), s)
+
+
 # --- graph metrics / one-to-one ----------------------------------------------
 
 @q("node_degrees",

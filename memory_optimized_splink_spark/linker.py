@@ -294,6 +294,24 @@ class SparkLinker:
             threshold_match_probability=threshold_match_probability,
         )
 
+    def compare_two_records_fast(self, rec_l: dict, rec_r: dict) -> dict:
+        """Single-pair scoring WITHOUT a Spark job (reference realtime.py
+        caches compiled SQL; here the trained model — settings, m/u, TF
+        count maps — is collected ONCE and later calls are pure
+        Python/numpy, microseconds instead of a job). Returns
+        {gamma_*, match_weight, match_probability}; numbers match the batch
+        predict (parity-tested). Raises LocalScoringUnsupported for
+        custom-SQL levels or oversized TF dims — fall back to
+        compare_two_records then."""
+        if getattr(self, "_local_scorer", None) is None:
+            from .realtime import LocalScorer, collect_tf_maps
+
+            tf_maps = collect_tf_maps(self._ensure_tf_tables()) \
+                if self.settings.tf_columns else None
+            self._local_scorer = LocalScorer(
+                self.settings, tf_maps=tf_maps, n_records=self._n_records())
+        return self._local_scorer.score(rec_l, rec_r)
+
     def compare_two_records(self, rec_l: dict, rec_r: dict) -> DataFrame:
         """Single-pair scoring (inference.py:928-1118)."""
         uid = self.settings.unique_id_column_name
@@ -347,6 +365,22 @@ class SparkLinker:
                 pred.orderBy(F.desc("match_weight")).limit(limit).collect()]
         return waterfall_chart_data(rows, self.settings)
 
+    def match_weights_chart(self) -> dict:
+        """Vega-Lite v5 spec (plain dict, no Altair) — the reference's
+        match_weights_chart rendering entry point."""
+        from .charts import match_weights_chart_spec
+        return match_weights_chart_spec(self.settings)
+
+    def m_u_parameters_chart(self) -> dict:
+        from .charts import m_u_parameters_chart_spec
+        return m_u_parameters_chart_spec(self.settings)
+
+    def waterfall_chart(self, limit: int = 10) -> list[dict]:
+        """One Vega-Lite waterfall spec per top-weight predicted pair."""
+        from .charts import waterfall_chart_spec
+        return [waterfall_chart_spec(recs)
+                for recs in self.waterfall_chart_data(limit)]
+
     def comparison_viewer_data(self, example_rows_per_pattern: int = 2
                                ) -> DataFrame:
         from .charts import comparison_viewer_data
@@ -379,6 +413,57 @@ class SparkLinker:
     # ---------------------------------------------------------- evaluation
     def truth_space(self, labels: DataFrame) -> DataFrame:
         return truth_space_table(labels, self.predict())
+
+    def truth_space_from_labels_column(
+            self, label_col: str, threshold_actual: float = 0.5,
+            positives_not_captured_by_blocking_rules_scored_as_zero:
+            bool = True) -> DataFrame:
+        """Truth space from a ground-truth CLUSTER column (reference
+        accuracy.py:337-404 / _predict_from_label_column_sql:498-527): the
+        model's blocking rules are extended with an equi rule on the label
+        column, so every intra-label pair is scored; pairs found ONLY by
+        that label rule count as missed by blocking (scored -999), and
+        label pairs never generated at all enter as implicit true negatives
+        via the cartesian count."""
+        from .accuracy import truth_space_from_labels_with_predictions
+        from .model import block_on
+        from .operators.blocking import block_using_rules
+
+        uid = self.settings.unique_id_column_name
+        nodes = self.nodes()
+        n = nodes.count()
+        if self.settings.link_type == "link_only":
+            ds = self.settings.source_dataset_column_name
+            counts = [r["n"] for r in nodes.groupBy(ds).agg(
+                F.count(F.lit(1)).alias("n")).collect()]
+            total_labels = 0.0
+            for a in range(len(counts)):
+                for b in range(a + 1, len(counts)):
+                    total_labels += counts[a] * counts[b]
+        else:
+            total_labels = n * (n - 1) / 2.0
+        new_mk = str(len(self.settings.blocking_rules))
+        s2 = replace(
+            self.settings,
+            blocking_rules=tuple(self.settings.blocking_rules)
+            + (block_on(label_col),),
+            additional_columns_to_retain=tuple(
+                set(self.settings.additional_columns_to_retain)
+                | {label_col}),
+        )
+        pairs = block_using_rules(nodes, s2)
+        cv = compute_comparison_vectors(pairs, nodes, s2)
+        pred = predict_op(cv, s2, n_records=self._n_records())
+        lp = pred.select(
+            "match_weight",
+            F.when(F.col(f"{label_col}_l") == F.col(f"{label_col}_r"),
+                   F.lit(1.0)).otherwise(F.lit(0.0))
+            .alias("clerical_match_score"),
+            (F.col("match_key") != new_mk).alias("found_by_blocking_rules"),
+        )
+        return truth_space_from_labels_with_predictions(
+            lp, total_labels, threshold_actual,
+            positives_not_captured_by_blocking_rules_scored_as_zero)
 
     def cluster_f1(self, threshold: float, truth_col: str = "cluster") -> dict:
         uid = self.settings.unique_id_column_name

@@ -138,9 +138,17 @@ def ivf_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
     centroids: np.ndarray | None = None, n_centroids: int = 16,
     n_probe: int = 4, seed: int = 42,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: corpus bucketed by nearest centroid; each query
-    scans only its n_probe nearest buckets (equi-join on centroid id)."""
+    scans only its n_probe nearest buckets (equi-join on centroid id).
+
+    broadcast_queries=True is the interactive default: the (small) query
+    side ships to every executor and the corpus never shuffles. For query
+    sets too large to broadcast (batch kNN-join workloads), pass False:
+    corpus and queries then shuffle-join on centroid id — both sides
+    partition by cid, so each task holds one bucket's corpus rows and its
+    probing queries. Results are identical (paths-agree test)."""
     if centroids is None:
         centroids = fit_centroids(corpus, vec_col, n_centroids, seed=seed)
     c = corpus.select(
@@ -152,7 +160,8 @@ def ivf_topk(
         F.col(vec_col).cast("array<double>").alias("_qv"),
     ).withColumn("cid", F.explode(
         assign_centroids(F.col("_qv"), centroids, n_probe)))
-    scored = c.join(F.broadcast(q), on="cid").select(
+    q_side = F.broadcast(q) if broadcast_queries else q
+    scored = c.join(q_side, on="cid").select(
         "query_id", "vec_id",
         cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine"),
     ).where(F.col("query_id") != F.col("vec_id"))

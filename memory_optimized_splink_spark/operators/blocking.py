@@ -147,7 +147,28 @@ def _equi_rule_pairs(
             cond = cond & extra
         return l.alias("l").join(r.alias("r"), cond, "inner")
 
+    def salted_join(l_side: DataFrame, r_side: DataFrame, k_salt: int
+                    ) -> DataFrame:
+        """Salt-extended equi-join: the left side carries a deterministic
+        per-row salt, the right side is exploded to all k salts, so each
+        key's block splits into k co-partitioned tasks with identical output
+        (every pair is found exactly once, at the left row's salt)."""
+        l_s = l_side.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(uid)), F.lit(k_salt)).cast("int"))
+        r_s = r_side.withColumn(
+            "_salt",
+            F.explode(F.array(*[F.lit(s).cast("int") for s in range(k_salt)])))
+        return join_on(l_s, r_s, extra=(F.col("l._salt") == F.col("r._salt")))
+
     if hot_keys is None:
+        if rule.salting_partitions > 1:
+            # static user-declared salting (reference blocking.py:340-401):
+            # honored whenever no measured hot-key split handled the rule —
+            # previously a salting_partitions set without hot_key_threshold
+            # was silently ignored
+            return _project_pairs(
+                salted_join(base, base, rule.salting_partitions),
+                i, rules, uid, link_only_col)
         return _project_pairs(join_on(base, base), i, rules, uid, link_only_col)
 
     flagged = base.join(
@@ -156,18 +177,10 @@ def _equi_rule_pairs(
     cold = flagged.where(F.col("_hot").isNull()).drop("_hot")
     hot = flagged.where(F.col("_hot").isNotNull()).drop("_hot")
     k_salt = max(rule.salting_partitions, 8)
-    hot_l = hot.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(uid)), F.lit(k_salt)).cast("int")
-    )
-    hot_r = hot.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(s).cast("int") for s in range(k_salt)]))
-    )
     cold_pairs = _project_pairs(join_on(cold, cold), i, rules, uid,
                                 link_only_col)
-    hot_pairs = _project_pairs(
-        join_on(hot_l, hot_r, extra=(F.col("l._salt") == F.col("r._salt"))),
-        i, rules, uid, link_only_col,
-    )
+    hot_pairs = _project_pairs(salted_join(hot, hot, k_salt),
+                               i, rules, uid, link_only_col)
     # cold x hot pairs: keys differ by construction, so no pairs are lost.
     return cold_pairs.unionByName(hot_pairs)
 

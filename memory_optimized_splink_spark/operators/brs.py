@@ -35,6 +35,62 @@ def count_comparisons_for_keys(nodes: DataFrame, keys: tuple[str, ...]) -> int:
     return int(row["c"] or 0)
 
 
+def count_comparisons_for_keys_link(nodes_l: DataFrame, nodes_r: DataFrame,
+                                    keys: tuple[str, ...]) -> int:
+    """Two-dataset (link_only) comparison count for an equi rule: sum over
+    shared key groups of n_l * n_r (reference blocking_analysis.py:89-185,
+    two-dataset branch). Two groupBy aggregates + a join of the (small)
+    per-key count tables — the node tables are never pair-joined."""
+    def key_counts(df: DataFrame, out: str) -> DataFrame:
+        cond = F.expr(keys[0]).isNotNull()
+        for k in keys[1:]:
+            cond = cond & F.expr(k).isNotNull()
+        named = [F.expr(k).alias(f"_k{j}") for j, k in enumerate(keys)]
+        return df.where(cond).groupBy(*named).agg(
+            F.count(F.lit(1)).alias(out))
+
+    joined = key_counts(nodes_l, "_n_l").join(
+        key_counts(nodes_r, "_n_r"),
+        on=[f"_k{j}" for j in range(len(keys))])
+    row = joined.agg(
+        F.sum(F.col("_n_l") * F.col("_n_r")).alias("c")).collect()[0]
+    return int(row["c"] or 0)
+
+
+def cumulative_comparisons_link(nodes_l: DataFrame, nodes_r: DataFrame,
+                                rules, uid: str = "unique_id") -> DataFrame:
+    """Exact cumulative comparison counts per blocking rule for a two-dataset
+    link_only job (reference blocking_analysis.
+    cumulative_comparisons_to_be_scored_from_blocking_rules, link branch):
+    runs the real blocking join (cross-dataset pairs only, NOT-prior-rule
+    exclusion) and counts per match_key. Output: (match_key, row_count,
+    cumulative_rows) — the same shape as the dedupe cumulative query.
+
+    uids are made globally unique by prefixing the dataset tag, so input
+    datasets may share id values (the usual case in link jobs)."""
+    from pyspark.sql import Window
+
+    from ..model import Settings
+    from .blocking import block_using_rules
+
+    def mark(df: DataFrame, tag: str) -> DataFrame:
+        return df.withColumn("_ds", F.lit(tag)).withColumn(
+            "_uid", F.concat(F.lit(tag), F.lit(":"),
+                             F.col(uid).cast("string")))
+
+    marked = mark(nodes_l, "l").unionByName(mark(nodes_r, "r"))
+    s = Settings(comparisons=(), blocking_rules=tuple(rules),
+                 unique_id_column_name="_uid", link_type="link_only",
+                 source_dataset_column_name="_ds")
+    pairs = block_using_rules(marked, s)
+    per = pairs.groupBy("match_key").agg(F.count(F.lit(1)).alias("row_count"))
+    w = Window.orderBy("match_key").rowsBetween(Window.unboundedPreceding,
+                                                Window.currentRow)
+    return per.select(
+        "match_key", "row_count",
+        F.sum("row_count").over(w).alias("cumulative_rows"))
+
+
 def find_rules_below_threshold(
     nodes: DataFrame,
     columns: list[str],

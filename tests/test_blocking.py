@@ -56,6 +56,69 @@ def test_salted_equals_unsalted(repo_nodes, basic_settings):
     assert p1 == p2
 
 
+def test_static_salting_equals_unsalted(repo_nodes, basic_settings):
+    """salting_partitions WITHOUT hot_key_threshold must salt statically
+    (reference blocking.py:340-401 semantics) — it was silently ignored
+    before; the pair set is identical either way."""
+    rule = block_on("repo")
+    s_plain = replace(basic_settings, blocking_rules=(rule,))
+    s_salt = replace(basic_settings, blocking_rules=(
+        replace(rule, salting_partitions=4),))
+    p1 = _pair_set(block_using_rules(repo_nodes, s_plain))
+    p2 = _pair_set(block_using_rules(repo_nodes, s_salt))
+    assert p1 == p2 and len(p1) > 0
+
+
+def test_link_comparison_counts_vs_duckdb(spark):
+    """Two-dataset blocking analysis: per-rule and cumulative link_only
+    counts match a DuckDB oracle on the same fixture."""
+    import duckdb
+    import pandas as pd
+
+    from memory_optimized_splink_spark.operators.brs import (
+        count_comparisons_for_keys_link, cumulative_comparisons_link,
+    )
+
+    # ids deliberately OVERLAP between the datasets (the usual link case)
+    pl = pd.DataFrame({
+        "unique_id": [str(i) for i in range(40)],
+        "city": [f"c{i % 5}" for i in range(40)],
+        "band": [f"b{i % 3}" for i in range(40)],
+    })
+    pr = pd.DataFrame({
+        "unique_id": [str(i) for i in range(25)],
+        "city": [f"c{i % 4}" for i in range(25)],
+        "band": [f"b{i % 3}" for i in range(25)],
+    })
+    dl, dr = spark.createDataFrame(pl), spark.createDataFrame(pr)
+
+    con = duckdb.connect()
+    con.register("tl", pl)
+    con.register("tr", pr)
+    want_city = con.sql("""
+        SELECT COALESCE(SUM(l.n*r.n), 0) FROM
+        (SELECT city, COUNT(*) n FROM tl GROUP BY city) l
+        JOIN (SELECT city, COUNT(*) n FROM tr GROUP BY city) r
+        USING (city)""").fetchone()[0]
+    assert count_comparisons_for_keys_link(dl, dr, ("city",)) == want_city
+
+    # cumulative with NOT-prior-rule exclusion: rule 0 = city, rule 1 = band
+    want = con.sql("""
+        WITH p0 AS (
+          SELECT l.unique_id, r.unique_id FROM tl l JOIN tr r USING (city)),
+        p1 AS (
+          SELECT l.unique_id, r.unique_id FROM tl l JOIN tr r USING (band)
+          WHERE NOT COALESCE(l.city = r.city, FALSE))
+        SELECT (SELECT COUNT(*) FROM p0), (SELECT COUNT(*) FROM p1)
+    """).fetchone()
+    from memory_optimized_splink_spark.model import block_on as bo
+    got = {r["match_key"]: (r["row_count"], r["cumulative_rows"])
+           for r in cumulative_comparisons_link(
+               dl, dr, [bo("city"), bo("band")]).collect()}
+    assert got["0"] == (want[0], want[0])
+    assert got["1"] == (want[1], want[0] + want[1])
+
+
 def test_null_keys_never_block(spark, basic_settings):
     df = spark.createDataFrame(
         [("1", None), ("2", None), ("3", "k"), ("4", "k")],

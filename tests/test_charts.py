@@ -101,6 +101,47 @@ def test_waterfall_null_level(settings):
     assert abs(total - recs[-1]["log2_bayes_factor"]) < 1e-12
 
 
+def test_vegalite_specs_golden(settings):
+    """Vega-Lite spec emitters: valid v5 shape, data = the record layer,
+    waterfall transforms reconstruct the hand-checked cumulative bars."""
+    import math
+
+    from memory_optimized_splink_spark.charts import (
+        m_u_parameters_chart_spec, match_weights_chart_spec,
+        waterfall_chart_spec,
+    )
+
+    spec = match_weights_chart_spec(settings)
+    assert spec["$schema"].endswith("vega-lite/v5.json")
+    assert spec["data"]["values"] == match_weights_chart_data(settings)
+    assert spec["encoding"]["x"]["field"] == "log2_bayes_factor"
+    assert spec["encoding"]["row"]["field"] == "comparison_name"
+
+    mu = m_u_parameters_chart_spec(settings)
+    assert mu["data"]["values"] == m_u_parameters_chart_data(settings)
+    assert mu["encoding"]["column"]["field"] == "probability_type"
+
+    row = {
+        "gamma_a": 1, "gamma_b": 0,
+        "a_l": "v", "a_r": "v", "b_l": "p", "b_r": "q",
+        "match_weight": math.log2(
+            (PRIOR / (1 - PRIOR)) * (M_A / U_A) * (0.3 / 0.75)),
+    }
+    recs = waterfall_chart_data([row], settings)[0]
+    wf = waterfall_chart_spec(recs)
+    assert wf["data"]["values"] == recs
+    assert wf["encoding"]["y2"]["field"] == "bar_top"
+    # replay the spec's transforms in python: bars must telescope to the
+    # final score, and the Final bar must anchor at 0
+    cum = 0.0
+    for r in recs[:-1]:
+        bottom, top = cum, cum + r["log2_bayes_factor"]
+        cum = top
+    assert abs(cum - row["match_weight"]) < 1e-12
+    assert any(t.get("calculate", "").startswith(
+        "datum.column_name === 'Final score' ? 0") for t in wf["transform"])
+
+
 def test_comparison_viewer_data(spark, settings):
     rows = [
         ("1", "2", 1, 1), ("1", "3", 1, 0), ("2", "3", 1, 0), ("4", "5", 0, 0),

@@ -180,6 +180,52 @@ def test_realtime_tf_weights_match_batch(spark, basic_settings):
     assert abs(rt - batch[("1", "2")]) < 1e-12
 
 
+def test_compare_two_records_fast_parity_and_latency(spark, repo_nodes,
+                                                     basic_settings):
+    """Driver-side realtime scoring (reference realtime.py's cache,
+    upgraded to no-job-at-all): numbers match the Spark path exactly, and
+    a warm call is >=10x faster than the cold one (which pays the one-time
+    TF collect)."""
+    import time
+    from dataclasses import replace
+
+    s = replace(basic_settings, tf_columns=("lang",))
+    # give the lang column a TF-adjusted exact level to exercise tf maps
+    from memory_optimized_splink_spark.model import Comparison, ComparisonLevel
+    s = replace(s, comparisons=s.comparisons + (
+        Comparison("lang", "lang", (
+            ComparisonLevel("null"),
+            ComparisonLevel("exact", m=0.7, u=0.3, tf_adjustment=True),
+            ComparisonLevel("else", m=0.3, u=0.7),
+        )),
+    ))
+    linker = SparkLinker(spark, repo_nodes, s)
+    row = repo_nodes.limit(1).collect()[0].asDict()
+    other = dict(row)
+    other["content_sha"] = "0" * 64
+    other["path"] = row["path"][:-3] + ".xy"  # near path -> fuzzy level
+    cases = [(row, dict(row)), (row, other),
+             (row, {**other, "path": None}),  # null level
+             (row, {**other, "path": "zz/" + "q" * 40})]  # else level
+    t0 = time.time()
+    fast_first = linker.compare_two_records_fast(*cases[0])
+    t_cold = time.time() - t0
+    for rec_l, rec_r in cases:
+        spark_row = linker.compare_two_records(rec_l, rec_r).collect()[0]
+        fast = linker.compare_two_records_fast(rec_l, rec_r)
+        assert abs(fast["match_weight"] - spark_row["match_weight"]) < 1e-9
+        assert abs(fast["match_probability"]
+                   - spark_row["match_probability"]) < 1e-12
+        for c in s.comparisons:
+            g = f"gamma_{c.name}"
+            assert fast[g] == spark_row[g], (g, rec_l, rec_r)
+    t0 = time.time()
+    for _ in range(50):
+        linker.compare_two_records_fast(*cases[1])
+    t_warm = (time.time() - t0) / 50
+    assert t_warm < t_cold / 10, (t_warm, t_cold)
+
+
 def test_datasets_registry_end_to_end(spark):
     """splink_datasets-equivalent loader: fake_1000 has the documented shape
     and links end-to-end with known ground truth."""

@@ -105,6 +105,33 @@ def test_ivf_topk_recall_vs_exact(vectors):
     assert sum(recalls) / len(recalls) >= 0.5  # probing half the centroids
 
 
+def test_ivf_topk_distributed_queries_agree(vectors):
+    """broadcast_queries=False (the large-query-set shuffle-join mode) must
+    return exactly the broadcast mode's results; its plan must not
+    broadcast the query side."""
+    queries = vectors.limit(50)
+
+    def key(rows):
+        return {(r["query_id"], r["vec_id"], r["rank"]) for r in rows}
+
+    bcast = ivf_topk(vectors, queries, k=5, n_centroids=8, n_probe=4)
+    spark = vectors.sparkSession
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # forbid broadcast entirely: the distributed mode must survive as a
+        # genuine shuffle join (what a too-big-to-broadcast query set gets)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        dist = ivf_topk(vectors, queries, k=5, n_centroids=8, n_probe=4,
+                        broadcast_queries=False)
+        rows = dist.collect()
+        plan = dist._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert key(bcast.collect()) == key(rows)
+    assert "BroadcastHashJoin" not in plan.split("AdaptiveSparkPlan")[0] \
+        or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     rows = [
