@@ -190,13 +190,19 @@ def scoring_throughput(spark: SparkSession, sf_dir: str,
 
 
 def run_extra_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
-    from memory_optimized_splink_spark.operators.dedup import minhash_lsh_pairs
+    from memory_optimized_splink_spark.operators.dedup import (
+        embedding_cosine_pairs, minhash_lsh_pairs,
+    )
 
     extras = {}
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t0 = time.time()
     minhash_lsh_pairs(docs, "doc_id", "text").count()  # production xxhash64 path
     extras["minhash_lsh"] = round(time.time() - t0, 3)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.time()
+    embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.9).count()
+    extras["embedding_srp"] = round(time.time() - t0, 3)
     for name in ["ann_topk", "exact_dedup", "text_quality", "largest_blocks"]:
         t0 = time.time()
         EQ.QUERIES[name](spark, sf_dir).count()

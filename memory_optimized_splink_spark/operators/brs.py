@@ -57,6 +57,28 @@ def count_comparisons_for_keys_link(nodes_l: DataFrame, nodes_r: DataFrame,
     return int(row["c"] or 0)
 
 
+def count_comparisons_for_rule(nodes: DataFrame, rule,
+                               uid: str = "unique_id",
+                               nodes_r: DataFrame | None = None) -> int:
+    """Exact comparison count for ANY BlockingRule — equi, exploding, or
+    raw-SQL theta; dedupe (one table) or link (pass nodes_r) — by running
+    the real single-rule blocking join and counting (reference
+    blocking_analysis.count_comparisons_from_blocking_rule handles
+    arbitrary rule SQL the same way: the join IS the estimator). For plain
+    equi dedupe rules prefer count_comparisons_for_keys — an aggregate,
+    no pair join."""
+    from ..model import Settings
+    from .blocking import block_using_rules
+
+    if nodes_r is None:
+        s = Settings(comparisons=(), blocking_rules=(rule,),
+                     unique_id_column_name=uid)
+        return block_using_rules(nodes, s).count()
+    df = cumulative_comparisons_link(nodes, nodes_r, [rule], uid=uid)
+    rows = df.collect()
+    return int(rows[0]["row_count"]) if rows else 0
+
+
 def cumulative_comparisons_link(nodes_l: DataFrame, nodes_r: DataFrame,
                                 rules, uid: str = "unique_id") -> DataFrame:
     """Exact cumulative comparison counts per blocking rule for a two-dataset

@@ -119,6 +119,40 @@ def test_link_comparison_counts_vs_duckdb(spark):
     assert got["1"] == (want[1], want[0] + want[1])
 
 
+def test_count_comparisons_for_theta_rule(spark):
+    """Arbitrary-SQL (theta) rule counts: the exact single-rule join count
+    must match a DuckDB oracle, for dedupe and for link."""
+    import duckdb
+    import pandas as pd
+
+    from memory_optimized_splink_spark.operators.brs import (
+        count_comparisons_for_rule,
+    )
+
+    pdf = pd.DataFrame({
+        "unique_id": [str(i) for i in range(30)],
+        "n": [i % 7 for i in range(30)],
+    })
+    df = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.sql("""
+        SELECT COUNT(*) FROM t l JOIN t r
+        ON abs(l.n - r.n) <= 1 AND l.unique_id < r.unique_id
+    """).fetchone()[0]
+    theta = BlockingRule(sql="abs(l.n - r.n) <= 1")
+    assert count_comparisons_for_rule(df, theta) == want
+
+    pr = pdf.iloc[:12]
+    con.register("tr2", pr)
+    want_link = con.sql("""
+        SELECT COUNT(*) FROM t l JOIN tr2 r ON abs(l.n - r.n) <= 1
+    """).fetchone()[0]
+    got_link = count_comparisons_for_rule(
+        df, theta, nodes_r=spark.createDataFrame(pr))
+    assert got_link == want_link
+
+
 def test_null_keys_never_block(spark, basic_settings):
     df = spark.createDataFrame(
         [("1", None), ("2", None), ("3", "k"), ("4", "k")],
