@@ -174,6 +174,11 @@ class Settings:
     tf_columns: tuple[str, ...] = ()
     tf_array_columns: tuple[str, ...] = ()
     seed: int = 42
+    # compute pandas-UDF metrics over DISTINCT value pairs and join back
+    # (vectors.with_comparison_metrics): a big win when comparison columns
+    # repeat across candidate pairs (names/cities/dobs), a net cost for
+    # near-unique columns — hence opt-in
+    dedupe_metric_values: bool = False
 
     def __post_init__(self):
         for f_ in ("comparisons", "blocking_rules", "additional_columns_to_retain",

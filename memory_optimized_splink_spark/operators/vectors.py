@@ -137,7 +137,8 @@ _PYTHON_METRIC_KINDS = {"jaro_winkler", "jaro", "damerau_levenshtein", "cosine"}
 
 
 def with_comparison_metrics(df: DataFrame, settings: Settings,
-                            python_parallelism: int | None = None) -> DataFrame:
+                            python_parallelism: int | None = None,
+                            dedupe_inputs: bool = False) -> DataFrame:
     """Stage 2: one column per (comparison, metric-kind), computed once.
 
     When a pandas-UDF metric is present and `python_parallelism` is set, the
@@ -146,24 +147,62 @@ def with_comparison_metrics(df: DataFrame, settings: Settings,
     pipeline can arrive here 1-2 partitions wide and starve every core
     (observed 6x at bench scale). One extra shuffle of ids+strings is cheap
     against O(L^2) string kernels.
+
+    dedupe_inputs=True computes each column's PYTHON metrics over the
+    DISTINCT (value_l, value_r) pairs and joins them back (null-safe keys,
+    so null behavior is identical to inline). Entity-resolution columns
+    (names, cities, dobs) repeat heavily across candidate pairs — the bench
+    workload shows 4.7x fewer distinct path pairs than pairs — so the
+    O(L^2) kernels run once per VALUE pair instead of once per candidate
+    pair, at the cost of one distinct + one join-back shuffle of the narrow
+    value-pair table. Opt in (settings.dedupe_metric_values) when the
+    metric columns are low-cardinality relative to the pair count; leave
+    off for near-unique columns where the distinct would not shrink the
+    work. JVM metrics (levenshtein, array ops) always stay inline — they
+    are codegen-cheap and a join would cost more than it saves.
     """
-    exprs: dict[str, Column] = {}
+    inline: dict[str, Column] = {}
+    by_col: dict[str, list[tuple[str, str]]] = {}  # col -> [(name, kind)]
+    seen: set[str] = set()
     needs_python = False
     for comp in settings.comparisons:
         for lv in comp.levels:
             if lv.kind in _METRIC_KINDS:
                 c = lv.column or comp.column
                 name = _metric_col(comp, lv.kind, c)
-                if name not in exprs:
-                    exprs[name] = _metric_expr(
+                if name in seen:
+                    continue
+                seen.add(name)
+                if dedupe_inputs and lv.kind in _PYTHON_METRIC_KINDS:
+                    by_col.setdefault(c, []).append((name, lv.kind))
+                else:
+                    inline[name] = _metric_expr(
                         lv.kind, F.col(f"{c}_l"), F.col(f"{c}_r")
                     ).alias(name)
-                    needs_python |= lv.kind in _PYTHON_METRIC_KINDS
-    if not exprs:
+                needs_python |= lv.kind in _PYTHON_METRIC_KINDS
+    if not (inline or by_col):
         return df
-    if needs_python and python_parallelism:
+    if needs_python and python_parallelism and not by_col:
         df = df.repartition(python_parallelism)
-    return df.select("*", *exprs.values())
+    if inline:
+        df = df.select("*", *inline.values())
+    for c, metrics in by_col.items():
+        l_key, r_key = f"{c}_l", f"{c}_r"
+        dist = df.select(l_key, r_key).distinct()
+        if python_parallelism:
+            dist = dist.repartition(python_parallelism)
+        dist = dist.select(
+            F.col(l_key).alias("_dk_l"), F.col(r_key).alias("_dk_r"),
+            *[_metric_expr(kind, F.col(l_key), F.col(r_key)).alias(name)
+              for name, kind in metrics],
+        )
+        df = df.join(
+            dist,
+            df[l_key].eqNullSafe(dist["_dk_l"])
+            & df[r_key].eqNullSafe(dist["_dk_r"]),
+            "left",
+        ).drop("_dk_l", "_dk_r")
+    return df
 
 
 def _level_condition(comp: Comparison, lv: ComparisonLevel) -> Column:
@@ -285,7 +324,11 @@ def compute_comparison_vectors(
         pairs = pairs.repartition(python_parallelism)
     nodes = ensure_phonetic_columns(nodes, settings)
     df = pairs_with_columns(pairs, nodes, settings)
-    df = with_comparison_metrics(df, settings, python_parallelism=None)
+    df = with_comparison_metrics(
+        df, settings,
+        python_parallelism=(python_parallelism
+                            if settings.dedupe_metric_values else None),
+        dedupe_inputs=settings.dedupe_metric_values)
     keep = ["unique_id_l", "unique_id_r"]
     if "match_key" in df.columns:
         keep.append("match_key")

@@ -133,3 +133,42 @@ def test_settings_json_roundtrip(basic_settings):
 
     s2 = Settings.from_json(basic_settings.to_json())
     assert s2 == basic_settings
+
+
+def test_dedupe_metric_values_identical_output(spark):
+    """dedupe_metric_values=True (python metrics over DISTINCT value pairs,
+    null-safe join-back) must produce EXACTLY the inline path's comparison
+    vectors — including null inputs and repeated value pairs."""
+    from dataclasses import replace
+
+    from memory_optimized_splink_spark.operators.blocking import (
+        block_using_rules,
+    )
+
+    rows = []
+    names = ["smith", "smyth", "jones", None, "smith"]
+    for i in range(40):
+        rows.append((str(i), "k", names[i % 5]))
+    df = spark.createDataFrame(rows, "unique_id string, k string, name string")
+    s = Settings(
+        comparisons=(
+            Comparison("name", "name", (
+                ComparisonLevel("null"),
+                ComparisonLevel("exact", m=0.9, u=0.01),
+                ComparisonLevel("jaro_winkler", threshold=0.88, m=0.6, u=0.05),
+                ComparisonLevel("else", m=0.1, u=0.9),
+            )),
+        ),
+        blocking_rules=(block_on("k"),),
+        probability_two_random_records_match=0.1,
+    )
+    pairs = block_using_rules(df, s)
+
+    def cv_set(settings):
+        return {(r["unique_id_l"], r["unique_id_r"], r["gamma_name"])
+                for r in compute_comparison_vectors(pairs, df, settings)
+                .collect()}
+
+    inline = cv_set(s)
+    deduped = cv_set(replace(s, dedupe_metric_values=True))
+    assert inline == deduped and len(inline) == 40 * 39 // 2
