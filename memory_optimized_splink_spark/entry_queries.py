@@ -690,6 +690,33 @@ def q_truth_space_labels_column(spark, sf_dir):
     )
 
 
+@q("link_cumulative_comparisons",
+   f"""WITH {RF_CTE},
+nl AS (SELECT * FROM nodes WHERE doc_id % 2 = 0),
+nr AS (SELECT * FROM nodes WHERE doc_id % 2 = 1),
+p0 AS (SELECT 1 AS x FROM nl l JOIN nr r ON l.repo = r.repo),
+p1 AS (SELECT 1 AS x FROM nl l JOIN nr r ON l.lang = r.lang
+       WHERE NOT COALESCE(l.repo = r.repo, FALSE)),
+per AS (SELECT '0' AS match_key, COUNT(*) AS row_count FROM p0
+        UNION ALL SELECT '1', COUNT(*) FROM p1)
+SELECT match_key, row_count,
+  CAST(SUM(row_count) OVER (ORDER BY match_key
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cumulative_rows
+FROM per""")
+def q_link_cumulative_comparisons(spark, sf_dir):
+    """Two-dataset (link_only) blocking analysis: exact per-rule and
+    cumulative comparison counts with NOT-prior exclusion (reference
+    blocking_analysis link branch), against a plain join-count oracle."""
+    from .operators.brs import cumulative_comparisons_link
+
+    rf = nodes_df(spark, sf_dir)
+    l = rf.where(F.col("doc_id") % 2 == 0)
+    r = rf.where(F.col("doc_id") % 2 == 1)
+    return cumulative_comparisons_link(
+        l, r, [block_on("repo"), block_on("lang")])
+
+
 @q("blocking_pairs_salted",
    f"WITH {PAIRS_CTE} SELECT match_key, unique_id_l, unique_id_r FROM pairs")
 def q_blocking_pairs_salted(spark, sf_dir):
