@@ -294,3 +294,59 @@ def test_settings_validation_fails_fast(spark, repo_nodes, basic_settings):
         SparkLinker(spark, repo_nodes, bad)
     # valid settings construct fine
     SparkLinker(spark, repo_nodes, basic_settings)
+
+
+def test_local_scorer_random_parity_vs_batch(spark):
+    """Randomized parity: every pair of a 24-record random table (with
+    nulls, unicode-free ASCII noise) scored by the driver-side LocalScorer
+    must match the batch predict() row exactly (gammas) and to 1e-9
+    (weights). Covers JW, DL, exact, null and else levels in one sweep."""
+    import random
+
+    from memory_optimized_splink_spark.model import (
+        Comparison, ComparisonLevel, Settings, block_on,
+    )
+    from memory_optimized_splink_spark.realtime import LocalScorer
+
+    rng = random.Random(7)
+    words = ["smith", "smyth", "jones", "baker", "abc", "abcd", ""]
+    rows = []
+    for i in range(24):
+        name = None if rng.random() < 0.2 else (
+            rng.choice(words) + rng.choice(["", "x", "ie", "son"]))
+        city = None if rng.random() < 0.2 else rng.choice(
+            ["london", "londn", "paris", "rome"])
+        rows.append((str(i), "k", name, city))
+    df = spark.createDataFrame(
+        rows, "unique_id string, k string, name string, city string")
+    s = Settings(
+        comparisons=(
+            Comparison("name", "name", (
+                ComparisonLevel("null"),
+                ComparisonLevel("exact", m=0.9, u=0.01),
+                ComparisonLevel("jaro_winkler", threshold=0.88, m=0.6, u=0.05),
+                ComparisonLevel("damerau_levenshtein", threshold=2,
+                                m=0.3, u=0.1),
+                ComparisonLevel("else", m=0.05, u=0.84),
+            )),
+            Comparison("city", "city", (
+                ComparisonLevel("null"),
+                ComparisonLevel("exact", m=0.8, u=0.1),
+                ComparisonLevel("else", m=0.2, u=0.9),
+            )),
+        ),
+        blocking_rules=(block_on("k"),),
+        probability_two_random_records_match=0.05,
+    )
+    linker = SparkLinker(spark, df, s)
+    batch = {(r["unique_id_l"], r["unique_id_r"]): r
+             for r in linker.predict().collect()}
+    assert len(batch) == 24 * 23 // 2
+    recs = {r[0]: {"unique_id": r[0], "k": r[1], "name": r[2], "city": r[3]}
+            for r in rows}
+    scorer = LocalScorer(s)
+    for (a, b), row in batch.items():
+        fast = scorer.score(recs[a], recs[b])
+        assert fast["gamma_name"] == row["gamma_name"], (a, b)
+        assert fast["gamma_city"] == row["gamma_city"], (a, b)
+        assert abs(fast["match_weight"] - row["match_weight"]) < 1e-9
