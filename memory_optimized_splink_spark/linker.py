@@ -304,8 +304,17 @@ class SparkLinker:
         custom-SQL levels or oversized TF dims — fall back to
         compare_two_records then."""
         if getattr(self, "_local_scorer", None) is None:
-            from .realtime import LocalScorer, collect_tf_maps
+            from .realtime import (
+                LocalScorer, LocalScoringUnsupported, collect_tf_maps,
+            )
 
+            if self.settings.tf_array_columns:
+                # array-TF adjustments join per-term TF grids — not
+                # replicated driver-side; silently diverging from batch
+                # predict would be worse than refusing
+                raise LocalScoringUnsupported(
+                    "tf_array_columns adjustments are not supported by the "
+                    "local scorer; use compare_two_records")
             tf_maps = collect_tf_maps(self._ensure_tf_tables()) \
                 if self.settings.tf_columns else None
             self._local_scorer = LocalScorer(

@@ -350,3 +350,61 @@ def test_local_scorer_random_parity_vs_batch(spark):
         assert fast["gamma_name"] == row["gamma_name"], (a, b)
         assert fast["gamma_city"] == row["gamma_city"], (a, b)
         assert abs(fast["match_weight"] - row["match_weight"]) < 1e-9
+
+
+def test_compare_two_records_fast_rejects_tf_arrays(spark, repo_nodes,
+                                                    basic_settings):
+    """Array-TF adjustments are batch-only: the fast path must refuse
+    rather than silently diverge from predict()."""
+    from dataclasses import replace
+
+    import pytest
+
+    from memory_optimized_splink_spark.realtime import LocalScoringUnsupported
+
+    s = replace(basic_settings, tf_array_columns=("langs",))
+    df = repo_nodes.withColumn("langs", F.array(F.col("lang")))
+    linker = SparkLinker(spark, df, s)
+    row = df.limit(1).collect()[0].asDict()
+    with pytest.raises(LocalScoringUnsupported):
+        linker.compare_two_records_fast(row, dict(row))
+
+
+def test_truth_space_labels_column_link_only(spark):
+    """link_only labels-column truth space: the implicit-negative total is
+    the cross-dataset product, and the output telescopes to hand-computed
+    tp/fn at the extreme thresholds."""
+    from memory_optimized_splink_spark.model import (
+        Comparison, ComparisonLevel, Settings, block_on,
+    )
+
+    rows = [
+        ("a1", "L", "k1", "x"), ("a2", "L", "k2", "y"), ("a3", "L", "k3", "z"),
+        ("b1", "R", "k1", "x"), ("b2", "R", "k2", "q"), ("b3", "R", "k9", "z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "unique_id string, ds string, k string, ent string")
+    s = Settings(
+        comparisons=(
+            Comparison("k", "k", (
+                ComparisonLevel("null"),
+                ComparisonLevel("exact", m=0.9, u=0.05),
+                ComparisonLevel("else", m=0.1, u=0.95),
+            )),
+        ),
+        blocking_rules=(block_on("k"),),
+        probability_two_random_records_match=0.1,
+        link_type="link_only",
+        source_dataset_column_name="ds",
+    )
+    linker = SparkLinker(spark, df, s)
+    ts = linker.truth_space_from_labels_column("ent").orderBy(
+        "truth_threshold").collect()
+    # total labels = 3*3 cross pairs; positives: (a1,b1) ent=x, (a3,b3) ent=z
+    # blocking (k) finds (a1,b1) [k1] and (a2,b2) [k2]; (a3,b3) only via the
+    # label rule -> scored -999 (a blocking miss, counted in fn everywhere)
+    bottom, top = ts[0], ts[-1]
+    assert bottom["tp"] + bottom["fn"] == 2.0  # P = 2 label positives
+    assert bottom["fn"] >= 1.0                 # (a3,b3) missed by blocking
+    assert top["tn"] + top["fp"] == 9.0 - 2.0  # N = total - P
+    assert top["tp"] <= 2.0 and top["precision"] <= 1.0
