@@ -47,6 +47,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--output")
     ap.add_argument("--threshold", type=float, default=0.9)
     ap.add_argument("--labels")
+    ap.add_argument("--labels-column",
+                    help="evaluate: ground-truth cluster COLUMN on the input "
+                         "(reference truth_space_table_from_labels_column) "
+                         "instead of a pairwise --labels table")
     ap.add_argument("--max-pairs", type=float, default=1e7)
     ap.add_argument("--em-rule", help="blocking key expr list, comma separated")
     ap.add_argument("--derive-repo-ids", action="store_true")
@@ -71,8 +75,11 @@ def main(argv: list[str] | None = None) -> None:
     elif args.stage == "cluster":
         out = linker.cluster(args.threshold)
     elif args.stage == "evaluate":
-        labels = read_any(linker.spark, args.labels)
-        out = linker.truth_space(labels)
+        if args.labels_column:
+            out = linker.truth_space_from_labels_column(args.labels_column)
+        else:
+            labels = read_any(linker.spark, args.labels)
+            out = linker.truth_space(labels)
     else:  # bench
         import subprocess
         subprocess.run([sys.executable, "bench.py"], check=True)

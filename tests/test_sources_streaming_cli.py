@@ -75,6 +75,25 @@ def test_cli_predict_and_cluster(spark, repo_nodes, basic_settings, tmp_path):
     assert clusters.count() == repo_nodes.count()
 
 
+def test_cli_evaluate_labels_column(spark, repo_nodes, basic_settings,
+                                    tmp_path):
+    from memory_optimized_splink_spark.cli import main
+
+    inp = str(tmp_path / "input_lc.parquet")
+    repo_nodes.write.parquet(inp)  # repo_nodes carries a `cluster` column
+    settings_path = str(tmp_path / "model_lc.json")
+    with open(settings_path, "w") as f:
+        f.write(basic_settings.to_json())
+    out = str(tmp_path / "ts.parquet")
+    main(["evaluate", "--input", inp, "--settings", settings_path,
+          "--checkpoint-dir", str(tmp_path / "ck_lc"),
+          "--labels-column", "cluster", "--output", out])
+    ts = spark.read.parquet(out)
+    assert {"truth_threshold", "tp", "fp", "fn", "tn",
+            "precision", "recall", "f1"} <= set(ts.columns)
+    assert ts.count() >= 1
+
+
 def test_streaming_entity_assignment_state_survives_restart(spark, tmp_path):
     """applyInPandasWithState entity assignment: same-sha records share the
     first-seen entity id, and the sha->entity state is restored from the
