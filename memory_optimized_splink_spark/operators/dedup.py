@@ -266,26 +266,77 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard(col_l: Column, col_r: Column, k: int = 5) -> Column:
-    """Exact Jaccard over character k-shingles — native array ops."""
+    """Exact Jaccard over character k-shingles — native array ops. Exact but
+    pays the interpreted shingle lambda per PAIR side; prefer
+    ngram_jaccard_arrow on multi-KB documents."""
     a, b = _shingles(col_l, k), _shingles(col_r, k)
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
 
 
+def _window_set(b: bytes, k: int) -> np.ndarray:
+    W = np.lib.stride_tricks.sliding_window_view(
+        np.frombuffer(b, dtype=np.uint8), k)
+    return np.unique(np.ascontiguousarray(W).view(np.dtype((np.void, k))))
+
+
+def _ngram_jaccard_py(a: str | None, b: str | None, k: int) -> float:
+    if a is None or b is None:
+        return 0.0  # matches the SQL expression's null handling
+    ba, bb = a.lower().encode("utf-8"), b.lower().encode("utf-8")
+    if len(ba) <= k or len(bb) <= k:
+        A = {ba[i:i + k] for i in range(max(len(ba) - k + 1, 1))}
+        B = {bb[i:i + k] for i in range(max(len(bb) - k + 1, 1))}
+        inter, union = len(A & B), len(A | B)
+        return inter / union if union else 0.0
+    va, vb = _window_set(ba, k), _window_set(bb, k)
+    inter = np.intersect1d(va, vb, assume_unique=True).size
+    union = va.size + vb.size - inter
+    return float(inter) / union if union else 0.0
+
+
+def ngram_jaccard_arrow(col_l: Column, col_r: Column, k: int = 5) -> Column:
+    """EXACT k-shingle Jaccard as a vectorized pandas UDF: distinct byte
+    windows via numpy sliding views + set ops — no hashing, so the values
+    equal the SQL expression's on ASCII text (equality-tested), at ~O(n log
+    n) numpy cost per doc instead of one interpreted lambda call per
+    character position per pair side. Byte-based (like the arrow shingle
+    path): on non-ASCII text use ngram_jaccard (char-based)."""
+    from pyspark.sql.types import DoubleType
+
+    kk = int(k)
+
+    @F.pandas_udf(DoubleType())
+    def _j(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([_ngram_jaccard_py(x, y, kk)
+                          for x, y in zip(a, b)], dtype="float64")
+
+    return _j(col_l, col_r)
+
+
+def _jaccard_verify_col(l: Column, r: Column, k: int, impl: str) -> Column:
+    if impl == "arrow":
+        return ngram_jaccard_arrow(l, r, k)
+    return ngram_jaccard(l, r, k)
+
+
 def minhash_dedup_pairs(
     df: DataFrame, id_col: str, text_col: str,
-    jaccard_threshold: float = 0.8, **lsh_kw,
+    jaccard_threshold: float = 0.8, verify_impl: str = "arrow", **lsh_kw,
 ) -> DataFrame:
     """LSH candidates verified with exact n-gram Jaccard (the standard
-    candidate->verify near-dup pipeline). Output: (id_l, id_r, jaccard)."""
+    candidate->verify near-dup pipeline). Output: (id_l, id_r, jaccard).
+    verify_impl="arrow" (default) uses the exact numpy byte-window Jaccard;
+    "sql" keeps the char-based native expression (non-ASCII exactness)."""
     cand = minhash_lsh_pairs(df, id_col, text_col, **lsh_kw)
     side = lambda s: df.select(F.col(id_col).alias(f"id_{s}"),
                                F.col(text_col).alias(f"_t_{s}"))
     k = lsh_kw.get("shingle_k", 5)
     return (
         cand.join(side("l"), on="id_l").join(side("r"), on="id_r")
-        .withColumn("jaccard", ngram_jaccard(F.col("_t_l"), F.col("_t_r"), k))
+        .withColumn("jaccard", _jaccard_verify_col(
+            F.col("_t_l"), F.col("_t_r"), k, verify_impl))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_l", "id_r", "jaccard")
     )
@@ -463,6 +514,7 @@ def near_dedup_documents(
     shingle_k: int = 5,
     seed: int = 42,
     candidate_fn: Optional[Callable[[DataFrame], DataFrame]] = None,
+    verify_impl: str = "arrow",
 ) -> DataFrame:
     """End-to-end near-duplicate clustering for a document corpus: exact
     sha-groups collapse to one representative (no pair blowup for identical
@@ -497,8 +549,8 @@ def near_dedup_documents(
     near = (
         cand.select("id_l", "id_r")
         .join(side("l"), on="id_l").join(side("r"), on="id_r")
-        .withColumn("jaccard",
-                    ngram_jaccard(F.col("_t_l"), F.col("_t_r"), shingle_k))
+        .withColumn("jaccard", _jaccard_verify_col(
+            F.col("_t_l"), F.col("_t_r"), shingle_k, verify_impl))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_l", "id_r")
     )

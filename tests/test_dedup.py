@@ -245,3 +245,40 @@ def near_dedup_from_import(docs):
         near_dedup_documents,
     )
     return near_dedup_documents(docs, "doc_id", "text", jaccard_threshold=0.5)
+
+
+def test_ngram_jaccard_arrow_equals_sql(spark):
+    """The vectorized byte-window Jaccard must produce EXACTLY the SQL
+    expression's values on ASCII text — short strings, empty strings,
+    nulls, identical and disjoint docs."""
+    from memory_optimized_splink_spark.operators.dedup import (
+        ngram_jaccard_arrow,
+    )
+
+    rows = [(a, b) for a, _ in DOCS for b, _ in DOCS]
+    texts = dict(DOCS)
+    pairs = [(texts[a], texts[b]) for a, b in rows]
+    pairs += [("", ""), ("ab", "abcde"), ("abcde", "abcde"),
+              (None, "abcdef"), ("abcdef", None), ("MIXED Case", "mixed case")]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = df.select(
+        F.round(ngram_jaccard(F.col("a"), F.col("b"), 5), 9).alias("sql"),
+        F.round(ngram_jaccard_arrow(F.col("a"), F.col("b"), 5), 9)
+        .alias("arrow"),
+    ).collect()
+    for r in got:
+        assert r["sql"] == r["arrow"], r
+
+
+def test_minhash_dedup_verify_impls_agree(docs):
+    from memory_optimized_splink_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    def pairset(impl):
+        return {(r["id_l"], r["id_r"], round(r["jaccard"], 9))
+                for r in minhash_dedup_pairs(
+                    docs, "doc_id", "text", jaccard_threshold=0.5,
+                    verify_impl=impl).collect()}
+
+    assert pairset("arrow") == pairset("sql")
