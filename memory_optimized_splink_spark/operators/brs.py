@@ -159,21 +159,45 @@ def suggest_blocking_rules(
     max_comparisons: int,
     max_rules: int = 3,
     max_keys: int = 2,
+    random_restarts: int = 0,
+    seed: int = 42,
 ) -> list[dict]:
     """Greedy set selection: among rules under threshold, repeatedly add the
     rule that lowers cost the most (deterministic tie-breaks). Returns
-    [{keys, comparison_count}] ready to wrap in block_on(*keys)."""
+    [{keys, comparison_count}] ready to wrap in block_on(*keys).
+
+    random_restarts > 0 mirrors the reference's randomized heuristic runs
+    (optimise_cost_of_brs.py:16-123 localised_shuffle): the greedy search
+    reruns from `random_restarts` seeded shuffles of the candidate order
+    and the lowest-cost set wins — pure driver-side Python over the already
+    collected counts (no extra Spark work)."""
+    import random
+
     candidates = find_rules_below_threshold(
         nodes, columns, max_comparisons, max_keys)
-    chosen: list[dict] = []
-    while len(chosen) < max_rules and candidates:
-        best, best_cost = None, rule_set_cost(chosen, columns)
-        for cand in candidates:
-            cost = rule_set_cost(chosen + [cand], columns)
-            if best is None or cost < best_cost:
-                best, best_cost = cand, cost
-        if best is None or (chosen and best_cost >= rule_set_cost(chosen, columns)):
-            break
-        chosen.append(best)
-        candidates = [c for c in candidates if c is not best]
-    return chosen
+
+    def greedy(cands: list[dict]) -> list[dict]:
+        chosen: list[dict] = []
+        cands = list(cands)
+        while len(chosen) < max_rules and cands:
+            best, best_cost = None, rule_set_cost(chosen, columns)
+            for cand in cands:
+                cost = rule_set_cost(chosen + [cand], columns)
+                if best is None or cost < best_cost:
+                    best, best_cost = cand, cost
+            if best is None or (chosen and best_cost
+                                >= rule_set_cost(chosen, columns)):
+                break
+            chosen.append(best)
+            cands = [c for c in cands if c is not best]
+        return chosen
+
+    best_set = greedy(candidates)
+    rng = random.Random(seed)
+    for _ in range(random_restarts):
+        shuffled = list(candidates)
+        rng.shuffle(shuffled)
+        alt = greedy(shuffled)
+        if rule_set_cost(alt, columns) < rule_set_cost(best_set, columns):
+            best_set = alt
+    return best_set

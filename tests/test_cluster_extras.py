@@ -123,3 +123,23 @@ def test_blocking_rule_suggestion(spark, repo_nodes):
         assert r["comparison_count"] <= 20_000
     # content_sha (near-unique) should be among the cheapest picks
     assert any("content_sha" in r["keys"] or "repo" in r["keys"] for r in chosen)
+
+
+def test_blocking_rule_suggestion_random_restarts(spark):
+    """Randomized restarts are deterministic under a seed and never worse
+    than plain greedy (they keep the best-cost set)."""
+    from memory_optimized_splink_spark.operators.brs import (
+        rule_set_cost, suggest_blocking_rules,
+    )
+
+    rows = [(str(i), f"a{i % 3}", f"b{i % 5}", f"c{i % 2}")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "unique_id string, a string, b string, c string")
+    cols = ["a", "b", "c"]
+    greedy = suggest_blocking_rules(df, cols, max_comparisons=2000)
+    r1 = suggest_blocking_rules(df, cols, max_comparisons=2000,
+                                random_restarts=5, seed=3)
+    r2 = suggest_blocking_rules(df, cols, max_comparisons=2000,
+                                random_restarts=5, seed=3)
+    assert r1 == r2  # seeded determinism
+    assert rule_set_cost(r1, cols) <= rule_set_cost(greedy, cols)
