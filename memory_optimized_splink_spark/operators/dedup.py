@@ -230,6 +230,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     max_bucket_size: Optional[int] = 10_000,
     shingle_impl: str = "arrow",
+    python_parallelism: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
@@ -241,7 +242,8 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k,
-                             seed, shingle_impl=shingle_impl)
+                             seed, shingle_impl=shingle_impl,
+                             python_parallelism=python_parallelism)
     banded = sig.select(
         "_id",
         F.posexplode(
