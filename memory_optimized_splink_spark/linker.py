@@ -303,7 +303,12 @@ class SparkLinker:
         predict (parity-tested). Raises LocalScoringUnsupported for
         custom-SQL levels or oversized TF dims — fall back to
         compare_two_records then."""
-        if getattr(self, "_local_scorer", None) is None:
+        # cache is keyed on the settings OBJECT: training reassigns
+        # self.settings (frozen dataclass), which must invalidate the
+        # scorer — otherwise fast scores silently keep pre-training m/u
+        if getattr(self, "_local_scorer", None) is None or \
+                getattr(self, "_local_scorer_settings", None) \
+                is not self.settings:
             from .realtime import (
                 LocalScorer, LocalScoringUnsupported, collect_tf_maps,
             )
@@ -319,6 +324,7 @@ class SparkLinker:
                 if self.settings.tf_columns else None
             self._local_scorer = LocalScorer(
                 self.settings, tf_maps=tf_maps, n_records=self._n_records())
+            self._local_scorer_settings = self.settings
         return self._local_scorer.score(rec_l, rec_r)
 
     def compare_two_records(self, rec_l: dict, rec_r: dict) -> DataFrame:

@@ -106,8 +106,11 @@ def cumulative_comparisons_link(nodes_l: DataFrame, nodes_r: DataFrame,
                  source_dataset_column_name="_ds")
     pairs = block_using_rules(marked, s)
     per = pairs.groupBy("match_key").agg(F.count(F.lit(1)).alias("row_count"))
-    w = Window.orderBy("match_key").rowsBetween(Window.unboundedPreceding,
-                                                Window.currentRow)
+    # order by the RULE INDEX, not the string key: with 10+ rules '10'
+    # sorts before '2' lexically and the cumulative would disagree with the
+    # NOT-prior-rule exclusion order
+    w = Window.orderBy(F.col("match_key").cast("int")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return per.select(
         "match_key", "row_count",
         F.sum("row_count").over(w).alias("cumulative_rows"))
@@ -167,37 +170,40 @@ def suggest_blocking_rules(
     [{keys, comparison_count}] ready to wrap in block_on(*keys).
 
     random_restarts > 0 mirrors the reference's randomized heuristic runs
-    (optimise_cost_of_brs.py:16-123 localised_shuffle): the greedy search
-    reruns from `random_restarts` seeded shuffles of the candidate order
-    and the lowest-cost set wins — pure driver-side Python over the already
-    collected counts (no extra Spark work)."""
+    (optimise_cost_of_brs.py:16-123 localised_shuffle): each restart
+    PERTURBS the selection itself (at every greedy step it picks randomly
+    among the 2 lowest-cost candidates, not just a reshuffled scan order —
+    a pure reshuffle only changes the result on exact cost ties) and the
+    lowest-cost set over all runs wins. Pure driver-side Python over the
+    already collected counts (no extra Spark work), deterministic under
+    `seed`."""
     import random
 
     candidates = find_rules_below_threshold(
         nodes, columns, max_comparisons, max_keys)
 
-    def greedy(cands: list[dict]) -> list[dict]:
+    def greedy(rng: "random.Random | None" = None) -> list[dict]:
         chosen: list[dict] = []
-        cands = list(cands)
+        cands = list(candidates)
         while len(chosen) < max_rules and cands:
-            best, best_cost = None, rule_set_cost(chosen, columns)
-            for cand in cands:
-                cost = rule_set_cost(chosen + [cand], columns)
-                if best is None or cost < best_cost:
-                    best, best_cost = cand, cost
-            if best is None or (chosen and best_cost
-                                >= rule_set_cost(chosen, columns)):
+            scored = sorted(
+                ((rule_set_cost(chosen + [c], columns), i, c)
+                 for i, c in enumerate(cands)),
+                key=lambda t: (t[0], t[1]))
+            if rng is not None and len(scored) > 1:
+                cost, _, best = scored[rng.randrange(2)]
+            else:
+                cost, _, best = scored[0]
+            if chosen and cost >= rule_set_cost(chosen, columns):
                 break
             chosen.append(best)
             cands = [c for c in cands if c is not best]
         return chosen
 
-    best_set = greedy(candidates)
+    best_set = greedy()
     rng = random.Random(seed)
     for _ in range(random_restarts):
-        shuffled = list(candidates)
-        rng.shuffle(shuffled)
-        alt = greedy(shuffled)
+        alt = greedy(rng)
         if rule_set_cost(alt, columns) < rule_set_cost(best_set, columns):
             best_set = alt
     return best_set

@@ -435,10 +435,24 @@ def srp_band_keys(vec_col: Column, planes, bands: int) -> Column:
     r = P.shape[0] // bands
     weights = (np.int64(1) << np.arange(r, dtype=np.int64))
 
+    dim = P.shape[1]
+    zero = np.zeros(dim)
+
     @F.pandas_udf(ArrayType(LongType()))
     def _keys(v: pd.Series) -> pd.Series:
-        X = np.stack(
-            v.apply(lambda x: np.asarray(x, dtype=np.float64)).to_numpy())
+        # dirty data must not kill the stage: a NULL or wrong-length
+        # embedding sketches as the zero vector (all bits 0) — the same
+        # bucket the replaced SQL sketch path gave them; such rows are
+        # dropped later at the exact-cosine verify (NULL cosine)
+        def vec(x):
+            if x is None:
+                return zero
+            a = np.asarray(x, dtype=np.float64)
+            if a.shape != (dim,) or not np.isfinite(a).all():
+                return zero
+            return a
+
+        X = np.stack(v.apply(vec).to_numpy())
         bits = (X @ P.T) > 0                       # (n, bands*r)
         keys = np.stack(
             [bits[:, b * r:(b + 1) * r] @ weights for b in range(bands)],
@@ -451,8 +465,8 @@ def srp_band_keys(vec_col: Column, planes, bands: int) -> Column:
 
 def embedding_cosine_pairs(
     df: DataFrame, id_col: str, vec_col: str,
-    threshold: float = 0.95, n_planes: int = 8, bands: int = 6, seed: int = 7,
-    max_bucket_size: Optional[int] = 10_000,
+    threshold: float = 0.95, *, n_planes: int = 8, bands: int = 6,
+    seed: int = 7, max_bucket_size: Optional[int] = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine, blocked by a BANDED
     random-hyperplane (SRP-LSH) sketch so the verify join is an equi-join,

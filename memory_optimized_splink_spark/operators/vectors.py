@@ -320,7 +320,11 @@ def compute_comparison_vectors(
         else retain_columns
     if python_parallelism is None:
         python_parallelism = 2 * pairs.sparkSession.sparkContext.defaultParallelism
-    if python_parallelism and needs_python_metrics(settings):
+    if python_parallelism and needs_python_metrics(settings) \
+            and not settings.dedupe_metric_values:
+        # with dedupe_metric_values the kernels run on the separately
+        # repartitioned DISTINCT value-pair table — shuffling the full pair
+        # table here would be pure wasted I/O
         pairs = pairs.repartition(python_parallelism)
     nodes = ensure_phonetic_columns(nodes, settings)
     df = pairs_with_columns(pairs, nodes, settings)

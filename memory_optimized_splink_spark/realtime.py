@@ -43,24 +43,33 @@ def _pair(fn, l, r):
 
 
 def _levenshtein(a: str, b: str) -> int:
-    """Codepoint Levenshtein (matches Spark's builtin on any input)."""
-    if a == b:
-        return 0
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[-1] + 1,
-                           prev[j - 1] + (ca != cb)))
-        prev = cur
-    return prev[-1]
+    """Codepoint Levenshtein — same kernel the batch path's vectorized UDFs
+    use (functions.similarity.edit_distance_np, damerau=False), so the two
+    implementations cannot drift."""
+    from .functions.similarity import edit_distance_np
+
+    return int(_pair(lambda x, y: edit_distance_np(x, y, damerau=False),
+                     a, b))
 
 
-def _to_epoch(v) -> float:
+def _to_epoch(v) -> float | None:
+    """Epoch seconds matching Spark's unix_timestamp defaults: datetimes
+    and 'yyyy-MM-dd HH:mm:ss' strings, interpreted as UTC (run the session
+    with spark.sql.session.timeZone=UTC — the container default — for
+    exact batch parity). Unparseable strings return None, like
+    unix_timestamp's NULL."""
+    from datetime import timezone
+
     if isinstance(v, datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=timezone.utc)
         return v.timestamp()
     if isinstance(v, str):
-        return datetime.fromisoformat(v).timestamp()
+        try:
+            return datetime.strptime(v, "%Y-%m-%d %H:%M:%S") \
+                .replace(tzinfo=timezone.utc).timestamp()
+        except ValueError:
+            return None
     return float(v)
 
 
@@ -137,9 +146,15 @@ class LocalScorer:
         if k == "abs_diff":
             return abs(l - r) <= lv.threshold
         if k == "pct_diff":
-            return abs(l - r) / max(l, r) < lv.threshold
+            mx = max(l, r)
+            if mx == 0:
+                return False  # batch: 0/0 -> NaN/NULL -> condition false
+            return abs(l - r) / mx < lv.threshold
         if k == "date_diff_seconds":
-            return abs(_to_epoch(l) - _to_epoch(r)) <= lv.threshold
+            el, er = _to_epoch(l), _to_epoch(r)
+            if el is None or er is None:
+                return False  # unix_timestamp NULL -> condition false
+            return abs(el - er) <= lv.threshold
         if k == "columns_reversed":
             b_l, b_r = rec_l.get(lv.column2), rec_r.get(lv.column2)
             if None in (l, r, b_l, b_r):
@@ -166,8 +181,14 @@ class LocalScorer:
             j = len(a & b) / union if union else 0.0
             return j >= lv.threshold
         if k == "pairwise_levenshtein":
-            best = min(_levenshtein(x, y) for x in l for y in r)
-            return best <= int(lv.threshold)
+            # batch: array_min over an empty/null-element grid is NULL ->
+            # condition false; skip None elements and empty products
+            dists = [_levenshtein(x, y)
+                     for x in l for y in r
+                     if x is not None and y is not None]
+            if not dists:
+                return False
+            return min(dists) <= int(lv.threshold)
         raise LocalScoringUnsupported(k)
 
     def gamma(self, comp, rec_l: dict, rec_r: dict) -> int:

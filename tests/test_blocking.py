@@ -256,3 +256,28 @@ def test_salted_predict_invariant(repo_nodes, basic_settings):
             F.count(F.lit(1)).alias("n")).collect()[0]
         sums.append((total["n"], round(total["s"], 9)))
     assert sums[0] == sums[1]
+
+
+def test_link_cumulative_window_orders_rules_numerically(spark):
+    """11 rules: cumulative_rows must follow rule INDEX order, not the
+    lexical string order where '10' < '2'."""
+    import pandas as pd
+
+    from memory_optimized_splink_spark.operators.brs import (
+        cumulative_comparisons_link,
+    )
+
+    cols = {f"c{i}": [f"{i}_{j % 2}" for j in range(6)] for i in range(11)}
+    pl = pd.DataFrame({"unique_id": [str(i) for i in range(6)], **cols})
+    dl = spark.createDataFrame(pl)
+    dr = spark.createDataFrame(pl)
+    rules = [block_on(f"c{i}") for i in range(11)]
+    rows = {r["match_key"]: r for r in
+            cumulative_comparisons_link(dl, dr, rules).collect()}
+    # rule 0 blocks everything cross-wise; later rules add nothing
+    running = 0
+    for i in range(11):
+        mk = str(i)
+        if mk in rows:
+            running += rows[mk]["row_count"]
+            assert rows[mk]["cumulative_rows"] == running, mk

@@ -282,3 +282,20 @@ def test_minhash_dedup_verify_impls_agree(docs):
                     verify_impl=impl).collect()}
 
     assert pairset("arrow") == pairset("sql")
+
+
+def test_embedding_srp_tolerates_null_and_ragged_vectors(spark):
+    """Dirty embeddings (NULL, wrong dim, NaN) must not kill the sketch
+    stage: they bucket as zero vectors and drop at the cosine verify."""
+    rows = [
+        ("v1", [1.0, 0.0, 0.0, 0.0]),
+        ("v2", [0.999, 0.01, 0.0, 0.0]),
+        ("bad_null", None),
+        ("bad_short", [1.0, 0.0]),
+        ("bad_nan", [float("nan"), 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    got = {(r["id_l"], r["id_r"]) for r in embedding_cosine_pairs(
+        df, "vec_id", "embedding", threshold=0.99).collect()}
+    assert ("v1", "v2") in got
+    assert not any("bad" in a or "bad" in b for a, b in got)

@@ -408,3 +408,20 @@ def test_truth_space_labels_column_link_only(spark):
     assert bottom["fn"] >= 1.0                 # (a3,b3) missed by blocking
     assert top["tn"] + top["fp"] == 9.0 - 2.0  # N = total - P
     assert top["tp"] <= 2.0 and top["precision"] <= 1.0
+
+
+def test_compare_two_records_fast_invalidated_by_training(spark, repo_nodes,
+                                                          basic_settings):
+    """Training reassigns settings; the cached LocalScorer must be rebuilt,
+    not silently keep pre-training m/u."""
+    linker = SparkLinker(spark, repo_nodes, basic_settings)
+    row = repo_nodes.limit(1).collect()[0].asDict()
+    other = dict(row)
+    other["content_sha"] = "0" * 64
+    before = linker.compare_two_records_fast(row, other)["match_weight"]
+    linker.estimate_u(max_pairs=5e4)  # reassigns self.settings
+    after_fast = linker.compare_two_records_fast(row, other)["match_weight"]
+    after_spark = linker.compare_two_records(row, other) \
+        .collect()[0]["match_weight"]
+    assert abs(after_fast - after_spark) < 1e-9
+    assert after_fast != before  # u changed -> weights changed
