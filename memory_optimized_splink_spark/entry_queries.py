@@ -593,6 +593,61 @@ def q_truth_space(spark, sf_dir):
         F.round(F.col("tp") / F.lit(max(total_p, 1.0)), 6).alias("recall"))
 
 
+@q("prediction_errors",
+   f"""WITH {PREDICT_CTE},
+nl2 AS (SELECT n.*, 'e' || CAST(doc_id - (doc_id % 5) AS VARCHAR) AS label
+        FROM nodes n),
+labels AS (
+  SELECT l.unique_id AS uid_l, r.unique_id AS uid_r, 1.0 AS clerical
+  FROM nl2 l JOIN nl2 r
+    ON l.label = r.label AND l.unique_id < r.unique_id
+  UNION ALL
+  SELECT l.unique_id, r.unique_id, 0.0
+  FROM nl2 l JOIN nl2 r
+    ON l.repo = r.repo AND l.label <> r.label AND l.unique_id < r.unique_id
+),
+lp AS (
+  SELECT lb.uid_l AS unique_id_l, lb.uid_r AS unique_id_r, lb.clerical,
+         COALESCE(p.match_weight, -999.0) AS mw
+  FROM labels lb LEFT JOIN predictions p
+    ON p.unique_id_l = lb.uid_l AND p.unique_id_r = lb.uid_r
+)
+SELECT unique_id_l, unique_id_r, ROUND(mw, 6) AS match_weight,
+  CASE WHEN mw >= -6.5 AND clerical < 0.5 THEN 'FP'
+       WHEN mw < -6.5 AND clerical >= 0.5 THEN 'FN' END AS error_type
+FROM lp
+WHERE (mw >= -6.5 AND clerical < 0.5) OR (mw < -6.5 AND clerical >= 0.5)""")
+def q_prediction_errors(spark, sf_dir):
+    """FP/FN lists at one weight threshold (reference accuracy.py:447-560)
+    against a deterministic labeled-pair derivation: intra-label positives
+    plus same-repo different-label hard negatives."""
+    from .accuracy import prediction_errors
+
+    nodes = nodes_df(spark, sf_dir).withColumn(
+        "label", F.concat(F.lit("e"), (F.col("doc_id")
+                                       - F.col("doc_id") % 5).cast("string")))
+    side = lambda s: nodes.select(
+        F.col("unique_id").alias(f"uid_{s}"), F.col("label").alias(f"lb_{s}"),
+        F.col("repo").alias(f"rp_{s}"))
+    pos = side("l").join(side("r"), (F.col("lb_l") == F.col("lb_r"))
+                         & (F.col("uid_l") < F.col("uid_r"))) \
+        .select(F.col("uid_l").alias("unique_id_l"),
+                F.col("uid_r").alias("unique_id_r"),
+                F.lit(1.0).alias("clerical_match_score"))
+    neg = side("l").join(side("r"), (F.col("rp_l") == F.col("rp_r"))
+                         & (F.col("lb_l") != F.col("lb_r"))
+                         & (F.col("uid_l") < F.col("uid_r"))) \
+        .select(F.col("uid_l").alias("unique_id_l"),
+                F.col("uid_r").alias("unique_id_r"),
+                F.lit(0.0).alias("clerical_match_score"))
+    labels = pos.unionByName(neg)
+    out = prediction_errors(labels, _spark_predict(spark, sf_dir),
+                            threshold_weight=-6.5)
+    return out.select(
+        "unique_id_l", "unique_id_r",
+        F.round("match_weight", 6).alias("match_weight"), "error_type")
+
+
 LABELS_COLUMN_TS_SQL = f"""WITH {RF_CTE},
 nl AS (SELECT n.*, 'e' || CAST(doc_id - (doc_id % 5) AS VARCHAR) AS label
        FROM nodes n),
