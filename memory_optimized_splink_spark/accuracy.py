@@ -108,8 +108,6 @@ def truth_space_from_labels_with_predictions(
         F.sum("is_pos").alias("P"), F.sum(1 - F.col("is_pos")).alias("Nf"),
     ).collect()[0]
     total_p = float(totals["P"] or 0)
-    # every label pair never generated by any rule is a clerical negative
-    total_n = float(total_labels) - total_p
     w_desc = Window.orderBy(F.desc("truth_threshold")) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_asc = Window.orderBy("truth_threshold") \

@@ -248,11 +248,9 @@ class SparkLinker:
         if not (self.settings.tf_array_columns or tf_cols):
             return None
         if self._n_records_cache is None:
-            nodes = self.nodes()
-            d = {col: nodes.where(F.col(col).isNotNull()).count()
-                 for col in tf_cols}
-            d["__total__"] = nodes.count()
-            self._n_records_cache = d
+            from .operators.nodes import non_null_counts
+            self._n_records_cache = non_null_counts(
+                self.nodes(), sorted(tf_cols), include_total=True)
         return self._n_records_cache
 
     def _ensure_tf_tables(self) -> dict:

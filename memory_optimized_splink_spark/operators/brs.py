@@ -100,7 +100,11 @@ def cumulative_comparisons_link(nodes_l: DataFrame, nodes_r: DataFrame,
             "_uid", F.concat(F.lit(tag), F.lit(":"),
                              F.col(uid).cast("string")))
 
-    marked = mark(nodes_l, "l").unionByName(mark(nodes_r, "r"))
+    # link inputs routinely carry different column sets (the reference
+    # vertically concatenates only the needed columns) — union the superset
+    # and let absent columns become NULL, which never equi-matches
+    marked = mark(nodes_l, "l").unionByName(mark(nodes_r, "r"),
+                                            allowMissingColumns=True)
     s = Settings(comparisons=(), blocking_rules=tuple(rules),
                  unique_id_column_name="_uid", link_type="link_only",
                  source_dataset_column_name="_ds")

@@ -165,8 +165,22 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     - "sql": the original codegen path (substr transform -> explode ->
       xxhash64) — char-based, kept for non-ASCII exactness and as the
       equality oracle for the arrow path.
+
+    Impl caveats (the two paths agree bit-for-bit ONLY on non-null ASCII):
+    - byte-vs-char: "arrow" windows over UTF-8 BYTES and lowercases with
+      Python str.lower; "sql" windows over CODEPOINTS with SQL lower().
+      Multi-byte text therefore yields different shingle sets (and Turkish
+      dotted-I etc. lowercases differently). Pick "sql" when non-ASCII
+      exactness matters; the near-dup semantics of "arrow" remain sound
+      (byte shingles are a standard choice, e.g. in content-defined
+      chunking), they just aren't the char-based oracle.
+    - null text: docs with NULL `text_col` produce NO signature in either
+      path (filtered here in the sql path too, for symmetry — xxhash64(NULL)
+      would otherwise give null-docs a degenerate shared signature and pair
+      them all with each other).
     """
     coeffs = _minhash_coeffs(num_hashes, seed)
+    df = df.where(F.col(text_col).isNotNull())
     if shingle_impl == "arrow":
         narrow = df.select(F.col(id_col).alias("_id"),
                            F.col(text_col).alias("_t"))
@@ -546,6 +560,11 @@ def near_dedup_documents(
     Output: (doc id, dup_cluster_id, is_canonical) where dup_cluster_id is
     the MINIMUM member doc id — deterministic regardless of the CC
     representative choice. Keep is_canonical rows for a deduplicated corpus.
+
+    Null/encoding caveats: NULL-text docs form one exact-dup group (sha2 of
+    NULL) and never enter LSH — both shingle impls drop them (see
+    minhash_signatures). verify_impl="arrow" is byte-based; use "sql" for
+    char-exact Jaccard on non-ASCII corpora.
     """
     from .cluster import solve_connected_components
 

@@ -65,6 +65,28 @@ def composite_uid(settings: Settings):
     return uid
 
 
+def non_null_counts(nodes: DataFrame, cols, include_total: bool = False
+                    ) -> dict[str, int]:
+    """Per-column non-null counts in ONE aggregate pass (plus "__total__"
+    when requested) instead of one count() job per column. At 100-TB scale
+    the k+1-scan version (reference comparison_level.py:30-42 runs one query
+    per field) is k+1 full reads of the node table; a single
+    `agg(count(when(isNotNull(c),1)) ...)` does the same work in one scan
+    with map-side partial aggregation."""
+    cols = list(cols)
+    aggs = [F.count(F.when(F.col(c).isNotNull(), 1)).alias(f"_c{i}")
+            for i, c in enumerate(cols)]
+    if include_total:
+        aggs.append(F.count(F.lit(1)).alias("_total"))
+    if not aggs:
+        return {}
+    row = nodes.agg(*aggs).collect()[0]
+    out = {c: int(row[f"_c{i}"]) for i, c in enumerate(cols)}
+    if include_total:
+        out["__total__"] = int(row["_total"])
+    return out
+
+
 def compute_tf_table(nodes: DataFrame, col: str, is_array: bool = False,
                      tokenize: bool = False) -> DataFrame:
     """value -> count dim table. Array columns are exploded first (and

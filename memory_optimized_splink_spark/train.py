@@ -353,10 +353,9 @@ def estimate_parameters_using_em_with_tf(
             adj_bf *= exact.m / exact.u
     lam0 = adj_bf / (1 + adj_bf)
 
-    from .operators.nodes import compute_tf_table
+    from .operators.nodes import compute_tf_table, non_null_counts
 
-    n_rows = {c: nodes.where(F.col(c).isNotNull()).count()
-              for _, _, _, _, c in tf_specs}
+    n_rows = non_null_counts(nodes, {c for *_, c in tf_specs})
     nodes_tf = nodes
     for _, _, _, _, col in tf_specs:
         tf = compute_tf_table(nodes, col).withColumn(

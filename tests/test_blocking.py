@@ -281,3 +281,24 @@ def test_link_cumulative_window_orders_rules_numerically(spark):
         if mk in rows:
             running += rows[mk]["row_count"]
             assert rows[mk]["cumulative_rows"] == running, mk
+
+
+def test_link_cumulative_tolerates_differing_column_sets(spark):
+    """Link inputs routinely carry different column sets; the analysis must
+    union the superset (absent columns -> NULL, which never equi-matches)
+    instead of raising (reference concatenates only the needed columns)."""
+    import pandas as pd
+
+    from memory_optimized_splink_spark.operators.brs import (
+        cumulative_comparisons_link,
+    )
+
+    dl = spark.createDataFrame(pd.DataFrame({
+        "unique_id": ["1", "2"], "city": ["ber", "par"],
+        "only_left": ["x", "y"]}))
+    dr = spark.createDataFrame(pd.DataFrame({
+        "unique_id": ["1", "2"], "city": ["ber", "lon"],
+        "only_right": ["u", "v"]}))
+    rows = {r["match_key"]: r["row_count"] for r in
+            cumulative_comparisons_link(dl, dr, [block_on("city")]).collect()}
+    assert rows == {"0": 1}  # the single cross-dataset 'ber' pair

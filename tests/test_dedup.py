@@ -197,6 +197,22 @@ def test_arrow_shingles_equal_sql_signatures(spark):
     assert arrow == sqlp and len(arrow) == len(DOCS) + 6
 
 
+def test_null_text_dropped_by_both_shingle_impls(spark):
+    """Null-text docs get NO signature in EITHER impl (symmetric: the sql
+    path filters nulls too, otherwise xxhash64(NULL) pairs all null docs)."""
+    from memory_optimized_splink_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "some real document text here"), ("n1", None), ("n2", None)],
+        "doc_id string, text string")
+    for impl in ("sql", "arrow"):
+        ids = {r["_id"] for r in minhash_signatures(
+            docs, "doc_id", "text", shingle_impl=impl).collect()}
+        assert ids == {"a"}, impl
+
+
 def test_embedding_srp_banded_recall(spark):
     """Banded SRP must recover >=90% of true cosine>=0.95 pairs (the
     single-sketch round-2 path had ~18% recall by construction). Truth is

@@ -177,3 +177,39 @@ def test_bucketed_nodes_join_avoids_exchange(spark, repo_nodes, tmp_path):
     join_exchanges = re.findall(
         r"Exchange hashpartitioning\(unique_id_l", plan)
     assert len(join_exchanges) == 1
+
+
+def test_non_null_counts_is_one_job(spark):
+    """The per-field non-null counts behind TF adjustment must be ONE
+    aggregate pass (one Spark job), not k+1 full scans — and identical to
+    the naive per-column counts."""
+    from memory_optimized_splink_spark.operators.nodes import non_null_counts
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, "x"), (3, "b", "y"), (4, None, None)],
+        "unique_id int, first string, second string").localCheckpoint()
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_during(fn):
+        spark.sparkContext.setJobGroup("nnc", "count jobs")
+        try:
+            out = fn()
+        finally:
+            spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+        return out, len(tracker.getJobIdsForGroup("nnc"))
+
+    counts, n_batched = jobs_during(
+        lambda: non_null_counts(df, ["first", "second"], include_total=True))
+    assert counts == {"first": 2, "second": 2, "__total__": 4}
+
+    spark.sparkContext.setJobGroup("nnc_naive", "naive")
+    try:
+        naive = {c: df.where(F.col(c).isNotNull()).count()
+                 for c in ("first", "second")}
+        naive["__total__"] = df.count()
+    finally:
+        spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+    n_naive = len(tracker.getJobIdsForGroup("nnc_naive"))
+    assert naive == counts
+    # one aggregate job (AQE may add a stage-materialization job, never k+1)
+    assert n_batched < n_naive and n_batched <= 2, (n_batched, n_naive)
