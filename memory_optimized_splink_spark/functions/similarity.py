@@ -13,9 +13,14 @@ backend) so that the driver's DuckDB oracle hash-matches:
 tests/test_similarity_vs_duckdb.py fuzzes the kernels cell-by-cell.
 
 Scale notes: the per-batch tensors are O(batch * Lmax) for the edit
-distances and O(batch * Lmax^2) bools for Jaro matching; strings longer than
-_LMAX are truncated for matching purposes (repo paths are short; for generic
-text columns callers should pre-truncate or hash).
+distances and O(batch * Lmax^2) bools for Jaro matching. Rows longer than
+the fast-path width (_LMAX / _DL_LMAX) are NOT truncated: they are routed
+into their own narrow mini-batches at natural length (sorted by length, with
+an adaptive batch size that keeps the per-batch tensor bounded), so results
+stay EXACT up to a hard per-kernel ceiling (_LHARD_*). Past the ceiling the
+kernel raises — silently-approximate distances on content-like columns were
+round-3's "What's wrong #2"; pre-truncate or fingerprint such columns
+explicitly instead.
 """
 
 from __future__ import annotations
@@ -27,6 +32,11 @@ from pyspark.sql.types import DoubleType, IntegerType
 
 _LMAX = 256
 _CHUNK = 2048
+# exactness ceilings for the long-row slow path (quadratic cell count for
+# Jaro/Lev time, cubic-ish tensor memory for unrestricted DL)
+_LHARD_JARO = 8192
+_LHARD_LEV = 8192
+_LHARD_DL = 2048
 
 
 def _codes(s: pd.Series, lmax: int, bytes_mode: bool = False
@@ -36,7 +46,12 @@ def _codes(s: pd.Series, lmax: int, bytes_mode: bool = False
     bytes_mode=True unpacks UTF-8 bytes (DuckDB's Jaro/JW operate on bytes);
     bytes_mode=False unpacks codepoints (its Levenshtein counts codepoints).
     """
-    vals = s.fillna("").astype(str).to_numpy(dtype=object)
+    return _codes_arr(s.fillna("").astype(str).to_numpy(dtype=object),
+                      lmax, bytes_mode)
+
+
+def _codes_arr(vals: np.ndarray, lmax: int, bytes_mode: bool = False
+               ) -> tuple[np.ndarray, np.ndarray]:
     n = len(vals)
     out = np.full((n, lmax), -1, dtype=np.int32)
     lens = np.empty(n, dtype=np.int32)
@@ -122,15 +137,55 @@ def _prefix_len(a, la, b, lb, cap: int = 4) -> np.ndarray:
     return run.sum(axis=1).astype(np.float64)
 
 
-def jaro_np(s1: pd.Series, s2: pd.Series) -> np.ndarray:
-    out = np.empty(len(s1), dtype=np.float64)
-    for lo in range(0, len(s1), _CHUNK):
-        hi = min(lo + _CHUNK, len(s1))
-        a, la = _codes(s1.iloc[lo:hi], _LMAX, bytes_mode=True)
-        b, lb = _codes(s2.iloc[lo:hi], _LMAX, bytes_mode=True)
-        lmax = max(int(la.max(initial=0)), int(lb.max(initial=0)), 1)
-        out[lo:hi] = _jaro_block(a[:, :lmax], la, b[:, :lmax], lb)
+def _run_kernel(s1: pd.Series, s2: pd.Series, block, *, bytes_mode: bool,
+                lmax: int, chunk: int, lhard: int, cell_budget: int,
+                out_dtype) -> np.ndarray:
+    """Chunked kernel driver with an EXACT long-string slow path.
+
+    Rows where both sides fit `lmax` run in `chunk`-sized batches at width
+    `lmax` (the hot path — identical to the pre-round-4 behavior). Longer
+    rows are sorted by length and run in narrow mini-batches at their
+    natural width, sized so each batch stays under `cell_budget` matrix
+    cells — no truncation, so values match the oracle at any length up to
+    `lhard`, past which we raise instead of silently approximating."""
+    v1 = s1.fillna("").astype(str).to_numpy(dtype=object)
+    v2 = s2.fillna("").astype(str).to_numpy(dtype=object)
+    n = len(v1)
+    enc = (lambda x: len(x.encode("utf-8"))) if bytes_mode else len
+    l1 = np.fromiter(map(enc, v1), np.int64, n)
+    l2 = np.fromiter(map(enc, v2), np.int64, n)
+    width = np.maximum(l1, l2)
+    if (width > lhard).any():
+        bad = int(width.max())
+        raise ValueError(
+            f"similarity kernel input of length {bad} exceeds the exact-"
+            f"computation ceiling ({lhard}); these kernels are for "
+            "name/path-like columns — pre-truncate, fingerprint, or shingle "
+            "content-like columns explicitly instead")
+    out = np.empty(n, dtype=out_dtype)
+
+    def run(idx: np.ndarray, step: int) -> None:
+        for lo in range(0, len(idx), step):
+            sel = idx[lo:lo + step]
+            cap = int(width[sel].max(initial=1)) or 1
+            a, la = _codes_arr(v1[sel], cap, bytes_mode)
+            b, lb = _codes_arr(v2[sel], cap, bytes_mode)
+            out[sel] = block(a, la, b, lb)
+
+    fast = width <= lmax
+    run(np.nonzero(fast)[0], chunk)
+    idx_long = np.nonzero(~fast)[0]
+    if len(idx_long):
+        idx_long = idx_long[np.argsort(width[idx_long], kind="stable")]
+        cap = int(width[idx_long].max())
+        run(idx_long, max(1, cell_budget // (cap * cap)))
     return out
+
+
+def jaro_np(s1: pd.Series, s2: pd.Series) -> np.ndarray:
+    return _run_kernel(
+        s1, s2, _jaro_block, bytes_mode=True, lmax=_LMAX, chunk=_CHUNK,
+        lhard=_LHARD_JARO, cell_budget=1 << 28, out_dtype=np.float64)
 
 
 def jaro_winkler_np(s1: pd.Series, s2: pd.Series,
@@ -138,19 +193,17 @@ def jaro_winkler_np(s1: pd.Series, s2: pd.Series,
                     boost_threshold: float = 0.7) -> np.ndarray:
     """Jaro-Winkler matching DuckDB's jaro_winkler_similarity (prefix<=4,
     scaling 0.1, boost only when jaro > 0.7)."""
-    out = np.empty(len(s1), dtype=np.float64)
-    for lo in range(0, len(s1), _CHUNK):
-        hi = min(lo + _CHUNK, len(s1))
-        a, la = _codes(s1.iloc[lo:hi], _LMAX, bytes_mode=True)
-        b, lb = _codes(s2.iloc[lo:hi], _LMAX, bytes_mode=True)
-        lmax = max(int(la.max(initial=0)), int(lb.max(initial=0)), 1)
-        jaro = _jaro_block(a[:, :lmax], la, b[:, :lmax], lb)
+
+    def block(a, la, b, lb):
+        jaro = _jaro_block(a, la, b, lb)
         pl = _prefix_len(a, la, b, lb)
-        jw = np.where(
-            jaro > boost_threshold, jaro + prefix_weight * pl * (1.0 - jaro), jaro
-        )
-        out[lo:hi] = jw
-    return out
+        return np.where(
+            jaro > boost_threshold,
+            jaro + prefix_weight * pl * (1.0 - jaro), jaro)
+
+    return _run_kernel(
+        s1, s2, block, bytes_mode=True, lmax=_LMAX, chunk=_CHUNK,
+        lhard=_LHARD_JARO, cell_budget=1 << 28, out_dtype=np.float64)
 
 
 def _levenshtein_block(a, la, b, lb) -> np.ndarray:
@@ -248,23 +301,29 @@ _DL_LMAX = 128
 _DL_CHUNK = 512
 
 
+def _rect_block(block):
+    """Adapt a kernel that accepts different a/b widths so the shared square
+    (n, cap) driver layout trims each side to its own max length."""
+
+    def run(a, la, b, lb):
+        wa = max(int(la.max(initial=0)), 1)
+        wb = max(int(lb.max(initial=0)), 1)
+        return block(a[:, :wa], la, b[:, :wb], lb)
+
+    return run
+
+
 def edit_distance_np(s1: pd.Series, s2: pd.Series, damerau: bool) -> np.ndarray:
-    out = np.empty(len(s1), dtype=np.int64)
-    chunk = _DL_CHUNK if damerau else _CHUNK
-    lmax = _DL_LMAX if damerau else _LMAX
-    for lo in range(0, len(s1), chunk):
-        hi = min(lo + chunk, len(s1))
-        a, la = _codes(s1.iloc[lo:hi], lmax)
-        b, lb = _codes(s2.iloc[lo:hi], lmax)
-        lmax_a = max(int(la.max(initial=0)), 1)
-        lmax_b = max(int(lb.max(initial=0)), 1)
-        if damerau:
-            out[lo:hi] = _dl_unrestricted_block(
-                a[:, :lmax_a], la, b[:, :lmax_b], lb)
-        else:
-            out[lo:hi] = _levenshtein_block(
-                a[:, :lmax_a], la, b[:, :lmax_b], lb)
-    return out
+    if damerau:
+        # DL memory is the binder: the (n, La+2, Lb+2) float64 tensor
+        return _run_kernel(
+            s1, s2, _rect_block(_dl_unrestricted_block), bytes_mode=False,
+            lmax=_DL_LMAX, chunk=_DL_CHUNK, lhard=_LHARD_DL,
+            cell_budget=1 << 23, out_dtype=np.int64)
+    return _run_kernel(
+        s1, s2, _rect_block(_levenshtein_block), bytes_mode=False,
+        lmax=_LMAX, chunk=_CHUNK, lhard=_LHARD_LEV,
+        cell_budget=1 << 28, out_dtype=np.int64)
 
 
 def cosine_np(v1: pd.Series, v2: pd.Series) -> np.ndarray:

@@ -133,3 +133,61 @@ def test_jaro_winkler_hypothesis_property():
         assert abs(got - want) < 1e-12, (a, b, got, want)
 
     check()
+
+
+def _long_pairs(seed=11, n=40):
+    """Mixed-length pairs straddling the 256-char fast-path width, up to
+    ~1.2k chars — the round-3 'silent truncation' regression surface."""
+    rng = random.Random(seed)
+    alpha = string.ascii_lowercase[:10] + " _./"
+    out = []
+    for _ in range(n):
+        la = rng.choice([5, 200, 255, 256, 257, 400, 700, 1200])
+        lb = rng.choice([la, la, rng.randint(0, 1200)])  # bias to near-equal
+        a = "".join(rng.choice(alpha) for _ in range(la))
+        # half the pairs: b is a small perturbation of a (realistic near-dup)
+        if rng.random() < 0.5 and la > 4:
+            pos = rng.randrange(la - 1)
+            b = a[:pos] + a[pos + 1] + a[pos] + a[pos + 2:]
+        else:
+            b = "".join(rng.choice(alpha) for _ in range(lb))
+        out.append((a, b))
+    return out
+
+
+@pytest.fixture(scope="module")
+def long_pairs():
+    p = _long_pairs()
+    s1 = pd.Series([a for a, _ in p])
+    s2 = pd.Series([b for _, b in p])
+    con = duckdb.connect()
+    tbl = pd.DataFrame({"a": s1, "b": s2})  # noqa: F841
+    ref = con.execute(
+        "select jaro_winkler_similarity(a,b) jw, jaro_similarity(a,b) j,"
+        " levenshtein(a,b) lev, damerau_levenshtein(a,b) dl from tbl"
+    ).fetchdf()
+    return s1, s2, ref
+
+
+def test_long_strings_exact_not_truncated(long_pairs):
+    """>256-char inputs must match DuckDB exactly (the slow path computes
+    at natural length; pre-round-4 they were silently truncated)."""
+    s1, s2, ref = long_pairs
+    assert np.abs(jaro_winkler_np(s1, s2) - ref.jw.to_numpy()).max() < 1e-12
+    assert np.abs(jaro_np(s1, s2) - ref.j.to_numpy()).max() < 1e-12
+    assert (edit_distance_np(s1, s2, damerau=False)
+            == ref.lev.to_numpy()).all()
+    assert (edit_distance_np(s1, s2, damerau=True)
+            == ref.dl.to_numpy()).all()
+
+
+def test_kernel_ceiling_raises_loudly():
+    """Past the exactness ceiling the kernel must raise, never silently
+    approximate."""
+    s1 = pd.Series(["x" * 10_000])
+    s2 = pd.Series(["y" * 10_000])
+    with pytest.raises(ValueError, match="ceiling"):
+        jaro_winkler_np(s1, s2)
+    with pytest.raises(ValueError, match="ceiling"):
+        edit_distance_np(pd.Series(["x" * 3000]), pd.Series(["y"]),
+                         damerau=True)
