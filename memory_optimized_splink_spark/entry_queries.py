@@ -249,6 +249,31 @@ def q_predict(spark, sf_dir):
     return _spark_predict(spark, sf_dir)
 
 
+@q("predict_imported_settings",
+   f"WITH {PREDICT_CTE} SELECT * FROM predictions")
+def q_predict_imported_settings(spark, sf_dir):
+    """Settings interop round-trip (interop.py): serialize the entry model
+    in the reference's model.json format, re-import it, and predict. The
+    oracle is the NATIVE predict oracle — a hash match proves the imported
+    settings reproduce the native model's probabilities bit-for-bit."""
+    import json as _json
+
+    from .interop import settings_from_splink_json, settings_to_splink_dict
+
+    s = settings_from_splink_json(
+        _json.dumps(settings_to_splink_dict(entry_settings())))
+    nodes = nodes_df(spark, sf_dir)
+    pairs = block_using_rules(nodes, s)
+    cv = compute_comparison_vectors(pairs, nodes, s)
+    pred = predict_op(cv, s)
+    return pred.select(
+        "match_key", "unique_id_l", "unique_id_r",
+        "gamma_content_sha", "gamma_path",
+        F.round("match_weight", 6).alias("match_weight"),
+        F.round("match_probability", 6).alias("match_probability"),
+    )
+
+
 # --- fork TF-adjusted scoring (comparison_level.py:682-718) ------------------
 
 @q("predict_tf",

@@ -38,6 +38,11 @@ class SparkLinker:
         enable_checkpoints: bool = False,
     ):
         self.spark = spark
+        # custom levels (incl. imported reference settings) may call the
+        # comparator UDFs by SQL name, mirroring the reference's JAR
+        # registration (spark/database_api.py:166-190); idempotent
+        from .functions.similarity import register_udfs
+        register_udfs(spark)
         self.settings = settings.with_defaults()
         # fail fast on missing columns (reference linker.py:316-334)
         self.settings.validate_against(input_table.columns)

@@ -209,6 +209,10 @@ def _level_condition(comp: Comparison, lv: ComparisonLevel) -> Column:
     c = lv.column or comp.column
     l, r = (F.col(f"{c}_l"), F.col(f"{c}_r")) if c else (None, None)
     if lv.kind == "null":
+        # expression-based null levels (e.g. try_to_timestamp(c_l, ..) IS
+        # NULL OR ..) arrive from imported reference settings JSON
+        if lv.sql_condition:
+            return F.expr(lv.sql_condition)
         return l.isNull() | r.isNull()
     if lv.kind == "exact":
         return l == r
