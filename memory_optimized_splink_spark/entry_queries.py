@@ -249,6 +249,40 @@ def q_predict(spark, sf_dir):
     return _spark_predict(spark, sf_dir)
 
 
+@q("comparator_scores",
+   f"""WITH {RF_CTE},
+pr AS (
+  SELECT a.path AS string1, b.path AS string2
+  FROM nodes a JOIN nodes b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 3 = 0
+)
+SELECT string1, string2,
+  levenshtein(string1, string2) AS levenshtein_distance,
+  damerau_levenshtein(string1, string2) AS damerau_levenshtein_distance,
+  ROUND(jaro_similarity(string1, string2), 6) AS jaro_similarity,
+  ROUND(jaro_winkler_similarity(string1, string2), 6)
+    AS jaro_winkler_similarity,
+  ROUND(jaccard(string1, string2), 6) AS jaccard_similarity
+FROM pr""")
+def q_comparator_scores(spark, sf_dir):
+    """Exploratory comparator table (exploratory.comparator_score_df — the
+    reference's similarity_analysis.comparator_score_df:49) over path pairs
+    derived from the repo table; the oracle recomputes every comparator
+    with DuckDB's builtins (the reference's exploratory backend)."""
+    from .exploratory import comparator_score_df
+
+    nodes = nodes_df(spark, sf_dir)
+    a = nodes.select(F.col("doc_id").alias("_d"),
+                     F.col("path").alias("string1")) \
+        .where(F.col("_d") % 3 == 0)
+    b = nodes.select((F.col("doc_id") - 1).alias("_d"),
+                     F.col("path").alias("string2"))
+    pairs = a.join(b, on="_d").select("string1", "string2").toPandas()
+    scored = comparator_score_df(pairs, "string1", "string2",
+                                 decimal_places=6)
+    return spark.createDataFrame(scored)
+
+
 @q("predict_imported_settings",
    f"WITH {PREDICT_CTE} SELECT * FROM predictions")
 def q_predict_imported_settings(spark, sf_dir):
