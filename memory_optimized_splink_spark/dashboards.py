@@ -1,0 +1,259 @@
+"""Self-contained HTML dashboards (single file, no build step).
+
+The reference ships Jinja-templated single-file HTML apps — cluster studio
+(/root/reference/splink/internals/cluster_studio.py), the comparison viewer
+(splink_comparison_viewer.py) — whose data payloads this engine already
+emits (charts.py:265-307). This module closes the gap: it inlines those
+payloads as JSON into one HTML string with
+- a dependency-free vanilla-JS core (cluster selector, membership/edge
+  tables, deterministic circular node-link SVG) that renders OFFLINE, and
+- optional Vega-Lite charts via the vega-embed CDN that enhance the page
+  when the browser has network access.
+
+Everything is data the engine computed; the HTML is presentation only.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+
+from .charts import cluster_studio_data, match_weights_chart_spec
+from .model import Settings
+
+_CDN = (
+    '<script src="https://cdn.jsdelivr.net/npm/vega@5"></script>\n'
+    '<script src="https://cdn.jsdelivr.net/npm/vega-lite@5"></script>\n'
+    '<script src="https://cdn.jsdelivr.net/npm/vega-embed@6"></script>'
+)
+
+_STYLE = """
+body { font-family: system-ui, sans-serif; margin: 1.5rem; color: #222; }
+h1 { font-size: 1.3rem; } h2 { font-size: 1.05rem; margin-top: 1.5rem; }
+table { border-collapse: collapse; margin-top: .5rem; font-size: .85rem; }
+th, td { border: 1px solid #ccc; padding: .25rem .5rem; text-align: left; }
+th { background: #f3f3f3; }
+svg { border: 1px solid #eee; margin-top: .5rem; }
+select { font-size: 1rem; padding: .2rem; }
+.muted { color: #777; font-size: .8rem; }
+"""
+
+
+def _page(title: str, payload: dict[str, Any], body: str, script: str) -> str:
+    data_json = json.dumps(payload).replace("</", "<\\/")
+    return f"""<!DOCTYPE html>
+<html lang="en"><head><meta charset="utf-8">
+<title>{_html.escape(title)}</title>
+{_CDN}
+<style>{_STYLE}</style>
+</head><body>
+<h1>{_html.escape(title)}</h1>
+{body}
+<script id="splink-data" type="application/json">{data_json}</script>
+<script>
+const DATA = JSON.parse(document.getElementById("splink-data").textContent);
+function embed(el, spec) {{
+  if (window.vegaEmbed) vegaEmbed(el, spec, {{actions: false}});
+  else document.querySelector(el).textContent =
+    "(chart requires network access to the vega-embed CDN)";
+}}
+{script}
+</script>
+</body></html>"""
+
+
+def cluster_studio_dashboard(
+    membership: DataFrame,
+    edges: DataFrame,
+    sample_clusters: int = 10,
+    out_path: str | None = None,
+    edge_l: str = "unique_id_l",
+    edge_r: str = "unique_id_r",
+) -> str:
+    """Single-file cluster-studio HTML (reference cluster_studio.py's
+    render_splink_cluster_studio_html surface): the N largest non-singleton
+    clusters with a selector, membership table, edge table, and a
+    deterministic circular node-link SVG. Returns the HTML; also writes it
+    when `out_path` is given.
+
+    The Spark work is bounded: only the sampled clusters' rows are
+    collected (cluster_studio_data limits server-side)."""
+    mem_df, edge_df = cluster_studio_data(
+        membership, edges, sample_clusters, edge_l=edge_l, edge_r=edge_r)
+    mem_rows = [r.asDict(recursive=True) for r in mem_df.collect()]
+    edge_rows = [r.asDict(recursive=True) for r in edge_df.collect()]
+    payload = {
+        "membership": [{k: (str(v) if v is not None else None)
+                        for k, v in r.items()} for r in mem_rows],
+        "edges": [{k: (float(v) if isinstance(v, (int, float))
+                       and k not in (edge_l, edge_r, "cluster_id")
+                       else str(v))
+                   for k, v in r.items()} for r in edge_rows],
+        "edge_l": edge_l, "edge_r": edge_r,
+    }
+    body = """
+<p class="muted">Largest non-singleton clusters; pick one to inspect.</p>
+<label>Cluster: <select id="cluster-select"></select></label>
+<h2>Graph</h2>
+<svg id="graph" width="420" height="420"></svg>
+<h2>Cluster sizes</h2><div id="size-chart"></div>
+<h2>Members</h2><div id="members"></div>
+<h2>Edges</h2><div id="edge-table"></div>
+"""
+    script = """
+const byCluster = {};
+for (const m of DATA.membership) {
+  (byCluster[m.cluster_id] ||= {members: [], edges: []}).members.push(m);
+}
+for (const e of DATA.edges) {
+  if (byCluster[e.cluster_id]) byCluster[e.cluster_id].edges.push(e);
+}
+const ids = Object.keys(byCluster).sort(
+  (a, b) => byCluster[b].members.length - byCluster[a].members.length);
+const sel = document.getElementById("cluster-select");
+for (const id of ids) {
+  const o = document.createElement("option");
+  o.value = id;
+  o.textContent = `${id} (${byCluster[id].members.length} nodes)`;
+  sel.appendChild(o);
+}
+function table(el, rows) {
+  if (!rows.length) { document.querySelector(el).textContent = "(none)"; return; }
+  const cols = Object.keys(rows[0]);
+  let h = "<table><tr>" + cols.map(c => `<th>${c}</th>`).join("") + "</tr>";
+  for (const r of rows)
+    h += "<tr>" + cols.map(c => `<td>${r[c]}</td>`).join("") + "</tr>";
+  document.querySelector(el).innerHTML = h + "</table>";
+}
+function draw(id) {
+  const {members, edges} = byCluster[id];
+  const svg = document.getElementById("graph");
+  svg.innerHTML = "";
+  const cx = 210, cy = 210, R = 170, pos = {};
+  members.forEach((m, i) => {
+    const a = 2 * Math.PI * i / members.length - Math.PI / 2;
+    pos[m.node_id] = [cx + R * Math.cos(a), cy + R * Math.sin(a)];
+  });
+  for (const e of edges) {
+    const p = pos[e[DATA.edge_l]], q = pos[e[DATA.edge_r]];
+    if (!p || !q) continue;
+    const l = document.createElementNS("http://www.w3.org/2000/svg", "line");
+    l.setAttribute("x1", p[0]); l.setAttribute("y1", p[1]);
+    l.setAttribute("x2", q[0]); l.setAttribute("y2", q[1]);
+    l.setAttribute("stroke", "#88a"); l.setAttribute("stroke-width", "1.5");
+    svg.appendChild(l);
+  }
+  members.forEach(m => {
+    const [x, y] = pos[m.node_id];
+    const c = document.createElementNS("http://www.w3.org/2000/svg", "circle");
+    c.setAttribute("cx", x); c.setAttribute("cy", y); c.setAttribute("r", 6);
+    c.setAttribute("fill", "#4472c4");
+    const t = document.createElementNS("http://www.w3.org/2000/svg", "title");
+    t.textContent = m.node_id; c.appendChild(t);
+    svg.appendChild(c);
+  });
+  table("#members", members);
+  table("#edge-table", edges);
+}
+sel.addEventListener("change", () => draw(sel.value));
+if (ids.length) draw(ids[0]);
+embed("#size-chart", {
+  "$schema": "https://vega.github.io/schema/vega-lite/v5.json",
+  data: {values: ids.map(id => ({cluster: id,
+                                 size: byCluster[id].members.length}))},
+  mark: "bar",
+  encoding: {x: {field: "cluster", type: "nominal", sort: "-y"},
+             y: {field: "size", type: "quantitative"}}});
+"""
+    page = _page("Cluster studio", payload, body, script)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(page)
+    return page
+
+
+def comparison_viewer_dashboard(
+    pred: DataFrame,
+    settings: Settings,
+    example_rows_per_pattern: int = 2,
+    max_patterns: int = 200,
+    out_path: str | None = None,
+) -> str:
+    """Single-file comparison-viewer HTML (splink_comparison_viewer.py
+    surface): distinct gamma patterns with counts, example pairs, and a
+    pattern-count bar chart. Collects at most `max_patterns` patterns'
+    example rows."""
+    from .charts import comparison_viewer_data
+
+    settings = settings.with_defaults()
+    gcols = [c.gamma_column for c in settings.comparisons]
+    df = comparison_viewer_data(pred, settings, example_rows_per_pattern)
+    keep = (gcols + ["pattern_count", "example_rank", "match_weight",
+                     "match_probability", "unique_id_l", "unique_id_r"])
+    rows = [r.asDict() for r in
+            df.select(*[c for c in keep if c in df.columns])
+            .orderBy(F.desc_nulls_last("pattern_count"), *gcols,
+                     "example_rank")
+            .limit(max_patterns * example_rows_per_pattern).collect()]
+    payload = {"rows": [{k: (None if v is None else
+                             (float(v) if isinstance(v, float) else str(v)))
+                         for k, v in r.items()} for r in rows],
+               "gamma_columns": gcols}
+    body = """
+<p class="muted">Distinct comparison-vector patterns, most frequent first;
+example pairs under each pattern.</p>
+<h2>Pattern frequencies</h2><div id="pattern-chart"></div>
+<h2>Patterns</h2><div id="pattern-table"></div>
+"""
+    script = """
+const rows = DATA.rows, g = DATA.gamma_columns;
+const patterns = {};
+for (const r of rows) {
+  const key = g.map(c => r[c]).join("|");
+  (patterns[key] ||= {count: +r.pattern_count, examples: []})
+    .examples.push(r);
+}
+const keys = Object.keys(patterns).sort(
+  (a, b) => patterns[b].count - patterns[a].count);
+let h = "<table><tr>" + g.map(c => `<th>${c}</th>`).join("") +
+  "<th>count</th><th>example pair</th><th>match_weight</th></tr>";
+for (const k of keys) {
+  const p = patterns[k];
+  for (const e of p.examples) {
+    h += "<tr>" + g.map(c => `<td>${e[c]}</td>`).join("") +
+      `<td>${p.count}</td><td>${e.unique_id_l} / ${e.unique_id_r}</td>` +
+      `<td>${e.match_weight == null ? "" :
+             (+e.match_weight).toFixed(4)}</td></tr>`;
+  }
+}
+document.getElementById("pattern-table").innerHTML = h + "</table>";
+embed("#pattern-chart", {
+  "$schema": "https://vega.github.io/schema/vega-lite/v5.json",
+  data: {values: keys.map(k => ({pattern: k, count: patterns[k].count}))},
+  mark: "bar",
+  encoding: {x: {field: "pattern", type: "nominal", sort: "-y"},
+             y: {field: "count", type: "quantitative",
+                 scale: {type: "log"}}}});
+"""
+    page = _page("Comparison viewer", payload, body, script)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(page)
+    return page
+
+
+def match_weights_dashboard(settings: Settings,
+                            out_path: str | None = None) -> str:
+    """Single-file page embedding the match-weights Vega-Lite spec
+    (charts.match_weights_chart_spec)."""
+    spec = match_weights_chart_spec(settings)
+    page = _page("Model match weights", {"spec": spec},
+                 '<div id="mw-chart"></div>',
+                 'embed("#mw-chart", DATA.spec);')
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(page)
+    return page

@@ -168,3 +168,75 @@ def test_cluster_studio_data(spark):
     assert {r["node_id"] for r in mem.collect()} == {"a", "b", "c"}
     assert {(r["unique_id_l"], r["unique_id_r"]) for r in e.collect()} \
         == {("a", "b"), ("b", "c")}
+
+
+def test_cluster_studio_dashboard_html(spark, tmp_path):
+    """Single-file HTML: embedded JSON payload round-trips, vanilla-JS core
+    + vega-embed CDN reference present, sample clusters in the payload."""
+    import json
+    import re
+
+    from memory_optimized_splink_spark.dashboards import (
+        cluster_studio_dashboard,
+    )
+
+    member = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("c", "c1"), ("d", "c2"), ("e", "c2"),
+         ("f", "c3")],
+        "node_id string, cluster_id string")
+    edges = spark.createDataFrame(
+        [("a", "b", 0.97), ("b", "c", 0.91), ("d", "e", 0.88)],
+        "unique_id_l string, unique_id_r string, match_probability double")
+    out = tmp_path / "studio.html"
+    html = cluster_studio_dashboard(member, edges, sample_clusters=2,
+                                    out_path=str(out))
+    assert out.read_text() == html
+    assert html.startswith("<!DOCTYPE html>")
+    assert "vega-embed" in html
+    m = re.search(
+        r'<script id="splink-data" type="application/json">(.*?)</script>',
+        html, re.S)
+    assert m, "embedded JSON payload missing"
+    payload = json.loads(m.group(1))
+    clusters = {r["cluster_id"] for r in payload["membership"]}
+    assert clusters == {"c1", "c2"}  # two largest non-singleton clusters
+    assert {(e["unique_id_l"], e["unique_id_r"])
+            for e in payload["edges"]} == {("a", "b"), ("b", "c"),
+                                           ("d", "e")}
+    # the vanilla-JS graph renderer is inline (works offline)
+    assert "createElementNS" in html and "cluster-select" in html
+
+
+def test_comparison_viewer_and_match_weights_dashboards(
+        spark, tmp_path, settings):
+    import json
+    import re
+
+    from memory_optimized_splink_spark.dashboards import (
+        comparison_viewer_dashboard, match_weights_dashboard,
+    )
+
+    s = settings
+    pred = spark.createDataFrame(
+        [("1", "2", 1, 1, 5.0, 0.97), ("1", "3", 1, 0, 1.0, 0.67),
+         ("2", "3", 1, 0, 1.1, 0.68), ("4", "5", 0, 0, -3.0, 0.11)],
+        "unique_id_l string, unique_id_r string, gamma_a int, gamma_b int, "
+        "match_weight double, match_probability double")
+    html = comparison_viewer_dashboard(pred, s, example_rows_per_pattern=1)
+    m = re.search(
+        r'<script id="splink-data" type="application/json">(.*?)</script>',
+        html, re.S)
+    payload = json.loads(m.group(1))
+    assert payload["gamma_columns"] == ["gamma_a", "gamma_b"]
+    counts = {(r["gamma_a"], r["gamma_b"]): r["pattern_count"]
+              for r in payload["rows"]}
+    assert counts == {("1", "1"): "1", ("1", "0"): "2", ("0", "0"): "1"}
+
+    out = tmp_path / "mw.html"
+    mw = match_weights_dashboard(s, out_path=str(out))
+    payload = json.loads(re.search(
+        r'<script id="splink-data" type="application/json">(.*?)</script>',
+        mw, re.S).group(1))
+    assert payload["spec"]["$schema"].startswith(
+        "https://vega.github.io/schema")
+    assert out.read_text() == mw
