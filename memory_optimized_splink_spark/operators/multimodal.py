@@ -1,9 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
 The Spark-side machinery (schema, batching, partition sizing, UDF
-signatures) is real and tested; the actual media decode is STUBBED — the
-container has no image/audio libraries — behind `decoder=` hooks. A
-deterministic fake decoder exercises the full path in tests.
+signatures) is real and tested. Decoding is real for the uncompressed
+formats a pure-numpy decoder can handle — BMP images (decode_bmp) and PCM
+WAV audio (decode_wav), dispatched by magic bytes in media_decoder — and
+honestly stubbed for compressed formats (JPEG/PNG/MP3/...) that need
+image/audio libraries this container does not ship.
 
 Design:
 - media rows are (id, media_type, content binary, metadata map-ish cols).
@@ -43,11 +45,136 @@ FEATURE_SCHEMA = StructType([
 
 
 def real_decode_stub(content: bytes) -> np.ndarray:
-    """Placeholder for a real decoder (PIL/torchaudio/ffmpeg)."""
+    """Placeholder for a compressed-format decoder (PIL/torchaudio/
+    ffmpeg). Uncompressed BMP/WAV decode IS implemented — use
+    media_decoder; this stub remains only for formats that require media
+    libraries absent from this environment."""
     raise NotImplementedError(
-        "media decoding requires image/audio libraries not present in this "
-        "environment; pass decoder=fake_decode for the deterministic fake"
+        "compressed-media decoding requires image/audio libraries not "
+        "present in this environment; use media_decoder for BMP/WAV or "
+        "decoder=fake_decode for the deterministic fake"
     )
+
+
+# ----------------------------------------------------- real decoders (numpy)
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP -> (H, W, 3) uint8 RGB array. Pure numpy:
+    BITMAPFILEHEADER (14 bytes, pixel offset at 10), BITMAPINFOHEADER
+    (width i32 @18, height i32 @22, bpp u16 @28, compression u32 @30 == 0),
+    rows padded to 4 bytes, stored bottom-up (or top-down when height < 0),
+    channel order BGR(A)."""
+    if content is None or len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = int.from_bytes(content[10:14], "little")
+    width = int.from_bytes(content[18:22], "little", signed=True)
+    height = int.from_bytes(content[22:26], "little", signed=True)
+    bpp = int.from_bytes(content[28:30], "little")
+    compression = int.from_bytes(content[30:34], "little")
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BMP supported "
+            f"(bpp={bpp}, compression={compression})")
+    top_down = height < 0
+    height = abs(height)
+    nchan = bpp // 8
+    stride = (width * nchan + 3) & ~3          # rows pad to 4 bytes
+    data = np.frombuffer(content, dtype=np.uint8,
+                         count=stride * height, offset=pix_off)
+    rows = data.reshape(height, stride)[:, : width * nchan]
+    img = rows.reshape(height, width, nchan)
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img[:, :, 2::-1])  # BGR(A) -> RGB
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV -> ((n_samples, channels) float64 in [-1, 1], sample_rate).
+    Pure numpy RIFF walk: 'fmt ' chunk must declare PCM (format 1) at
+    8/16/32 bits; the 'data' chunk holds interleaved little-endian
+    samples."""
+    if content is None or len(content) < 12 or content[:4] != b"RIFF" \
+            or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos:pos + 4]
+        size = int.from_bytes(content[pos + 4:pos + 8], "little")
+        body = content[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)           # chunks pad to even
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16, 32):
+        raise NotImplementedError(
+            f"only 8/16/32-bit PCM WAV supported "
+            f"(format={audio_format}, bits={bits})")
+    if bits == 8:    # unsigned
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    else:
+        dt = np.dtype(f"<i{bits // 8}")
+        x = np.frombuffer(data, dtype=dt).astype(np.float64) \
+            / float(1 << (bits - 1))
+    n = (len(x) // channels) * channels
+    return x[:n].reshape(-1, channels), sample_rate
+
+
+def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbour resize, pure numpy (the resize step of an image
+    pipeline — no interpolation libs needed for thumbnailing features)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def image_features(content: bytes) -> np.ndarray:
+    """BMP -> 8-dim feature: [w, h, mean R, mean G, mean B, std gray,
+    edge-energy (mean |dx|+|dy| of gray), aspect]."""
+    img = decode_bmp(content).astype(np.float64)
+    h, w = img.shape[:2]
+    gray = img.mean(axis=2)
+    dx = np.abs(np.diff(gray, axis=1)).mean() if w > 1 else 0.0
+    dy = np.abs(np.diff(gray, axis=0)).mean() if h > 1 else 0.0
+    return np.array([
+        w, h, img[:, :, 0].mean(), img[:, :, 1].mean(), img[:, :, 2].mean(),
+        gray.std(), dx + dy, w / h,
+    ], dtype=np.float32)
+
+
+def audio_features(content: bytes) -> np.ndarray:
+    """PCM WAV -> 6-dim feature: [sample_rate, n_samples, rms, peak,
+    zero-crossing rate, mean |sample|] over the channel mix."""
+    samples, rate = decode_wav(content)
+    mono = samples.mean(axis=1)
+    zc = float((np.signbit(mono[1:]) != np.signbit(mono[:-1])).mean()) \
+        if len(mono) > 1 else 0.0
+    return np.array([
+        rate, len(mono), np.sqrt((mono ** 2).mean()) if len(mono) else 0.0,
+        np.abs(mono).max(initial=0.0), zc,
+        np.abs(mono).mean() if len(mono) else 0.0,
+    ], dtype=np.float32)
+
+
+def media_decoder(content: bytes) -> np.ndarray:
+    """Magic-byte dispatch: BMP -> image_features, PCM WAV ->
+    audio_features; compressed formats raise NotImplementedError (honest
+    stub — no media libs in this environment)."""
+    if content is None or len(content) == 0:
+        return np.zeros(8, dtype=np.float32)
+    if content[:2] == b"BM":
+        return image_features(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return audio_features(content)
+    return real_decode_stub(content)
 
 
 def fake_decode(content: bytes) -> np.ndarray:

@@ -205,6 +205,18 @@ def test_cluster_studio_dashboard_html(spark, tmp_path):
                                            ("d", "e")}
     # the vanilla-JS graph renderer is inline (works offline)
     assert "createElementNS" in html and "cluster-select" in html
+    # syntax-check the inline script when node is available
+    import shutil
+    import subprocess
+
+    if shutil.which("node"):
+        js = re.search(r"<script>\n(.*?)</script>\n</body>", html,
+                       re.S).group(1)
+        p = tmp_path / "inline.js"
+        p.write_text(js)
+        res = subprocess.run(["node", "--check", str(p)],
+                             capture_output=True, text=True)
+        assert res.returncode == 0, res.stderr
 
 
 def test_comparison_viewer_and_match_weights_dashboards(
