@@ -62,6 +62,95 @@ def windowed_event_dedup(events: DataFrame, ts_col: str, key_cols: list[str],
         .dropDuplicatesWithinWatermark(key_cols)
 
 
+def streaming_edge_clustering(
+    edges_stream: DataFrame,
+    membership_dir: str,
+    checkpoint_location: str | None = None,
+    trigger_once: bool = False,
+    edge_l: str = "unique_id_l",
+    edge_r: str = "unique_id_r",
+):
+    """Incremental connected components over a stream of accepted edges,
+    with CORRECT cluster merging: a late edge that bridges two existing
+    clusters merges them (the merged cluster keeps the smaller cluster id,
+    so labels are stable under merge).
+
+    Mechanism (foreachBatch): the current membership table is re-expressed
+    as edges (node -> its cluster id) and unioned with the micro-batch's
+    new edges; the batch large-star/small-star CC re-closes transitivity
+    over the union, so prior clusters act as super-nodes — the per-batch
+    cost scales with |membership| + |new edges|, fully distributed, no
+    driver-side state. Membership versions are written to
+    `membership_dir/v<batch_id>` with a `_CURRENT` pointer file
+    (write-then-swap: a version is never overwritten while readable, and a
+    crashed batch leaves the pointer on the previous good version).
+
+    Returns the StreamingQuery. Read results with
+    `read_current_membership(spark, membership_dir)`.
+    """
+    import os
+
+    from ..operators.cluster import solve_connected_components
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        new_edges = batch_df.select(F.col(edge_l).alias("_l"),
+                                    F.col(edge_r).alias("_r"))
+        prior = read_current_membership(spark, membership_dir)
+        if prior is not None:
+            prior_edges = prior.where(
+                F.col("node_id") != F.col("cluster_id")).select(
+                F.col("node_id").alias("_l"),
+                F.col("cluster_id").alias("_r"))
+            all_edges = new_edges.unionByName(prior_edges)
+            nodes = new_edges.select(F.col("_l").alias("node_id")) \
+                .union(new_edges.select("_r")) \
+                .union(prior.select("node_id")).distinct()
+        else:
+            all_edges = new_edges
+            nodes = new_edges.select(F.col("_l").alias("node_id")) \
+                .union(new_edges.select("_r")).distinct()
+        membership = solve_connected_components(
+            nodes, all_edges, node_col="node_id",
+            edge_l="_l", edge_r="_r")
+        # normalize labels to the MIN member id: deterministic across
+        # reruns (the raw CC rep is nid-ordered, i.e. arbitrary) and stable
+        # under merge — the merged cluster keeps the smallest member's id
+        from pyspark.sql import Window
+        w = Window.partitionBy("cluster_id")
+        membership = membership.select(
+            "node_id", F.min("node_id").over(w).alias("cluster_id"))
+        out = f"{membership_dir}/v{batch_id}"
+        membership.write.mode("overwrite").parquet(out)
+        tmp = f"{membership_dir}/_CURRENT.tmp"
+        with open(tmp, "w") as f:
+            f.write(f"v{batch_id}")
+        os.replace(tmp, f"{membership_dir}/_CURRENT")
+
+    writer = edges_stream.writeStream.foreachBatch(process)
+    if checkpoint_location:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_current_membership(spark, membership_dir: str) -> DataFrame | None:
+    """(node_id, cluster_id) of the latest committed clustering version, or
+    None before the first batch."""
+    import os
+
+    ptr = f"{membership_dir}/_CURRENT"
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        version = f.read().strip()
+    return spark.read.parquet(f"{membership_dir}/{version}") \
+        .select("node_id", "cluster_id")
+
+
 def streaming_entity_assignment(
     stream: DataFrame,
     key_col: str = "key",

@@ -136,3 +136,56 @@ def test_streaming_entity_assignment_state_survives_restart(spark, tmp_path):
     assert got2["a3"] == "a1"                 # restored state used
     assert got2["d1"] == "d1"
     assert len(got2) == 6                     # cumulative file sink
+
+
+def test_streaming_edge_clustering_merges_late_bridge(spark, tmp_path):
+    """A late edge bridging two EXISTING clusters must merge them, and the
+    final membership must equal batch CC over all edges (min-member-id
+    labels). Two availableNow runs against one checkpoint force the bridge
+    to arrive after the clusters exist."""
+    from memory_optimized_splink_spark.operators.cluster import (
+        solve_connected_components,
+    )
+    from memory_optimized_splink_spark.streaming.incremental import (
+        read_current_membership, streaming_edge_clustering,
+    )
+    from pyspark.sql import Window, functions as F
+
+    src = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+    mdir = str(tmp_path / "membership")
+    import os
+    os.makedirs(mdir, exist_ok=True)
+    schema = "unique_id_l string, unique_id_r string"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = streaming_edge_clustering(
+            stream, mdir, checkpoint_location=ckpt, trigger_once=True)
+        q.awaitTermination(120)
+        return {r["node_id"]: r["cluster_id"] for r in
+                read_current_membership(spark, mdir).collect()}
+
+    batch1 = [("a", "b"), ("c", "d"), ("x", "y")]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+    got1 = run()
+    assert got1 == {"a": "a", "b": "a", "c": "c", "d": "c",
+                    "x": "x", "y": "x"}
+
+    # late edges: b-c BRIDGES clusters {a,b} and {c,d}; y-z extends {x,y}
+    batch2 = [("b", "c"), ("y", "z")]
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+    got2 = run()
+    assert got2 == {"a": "a", "b": "a", "c": "a", "d": "a",
+                    "x": "x", "y": "x", "z": "x"}
+
+    # equals batch CC over ALL edges with the same min-member-id labels
+    all_edges = spark.createDataFrame(batch1 + batch2, schema)
+    nodes = all_edges.select(F.col("unique_id_l").alias("node_id")) \
+        .union(all_edges.select("unique_id_r")).distinct()
+    batch_cc = solve_connected_components(
+        nodes, all_edges, node_col="node_id")
+    w = Window.partitionBy("cluster_id")
+    batch_cc = {r["node_id"]: r["cluster_id"] for r in batch_cc.select(
+        "node_id", F.min("node_id").over(w).alias("cluster_id")).collect()}
+    assert got2 == batch_cc
