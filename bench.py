@@ -104,6 +104,18 @@ def run_pipeline(spark: SparkSession, sf_dir: str, variants: int = 40) -> dict:
     out["n_pairs"] = n_pairs
     out["t_block"] = time.time() - t0
 
+    # peak-partition skew of the blocking output (scale evidence: a hot
+    # blocking key shows up here as max >> mean partition rows)
+    psizes = [r["c"] for r in pairs.groupBy(
+        F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("c")).collect()]
+    out["pair_partitions"] = {
+        "n": len(psizes),
+        "max_rows": max(psizes),
+        "mean_rows": round(sum(psizes) / len(psizes), 1),
+        "skew_ratio": round(max(psizes) * len(psizes) / sum(psizes), 2),
+    }
+
     # two timed scoring runs; keep the steady-state (the sandbox VM is
     # noisy and the first run may still page in worker state). The timed
     # section is forced by an aggregate over match_weight (which pulls every
@@ -135,13 +147,15 @@ def run_pipeline(spark: SparkSession, sf_dir: str, variants: int = 40) -> dict:
     edges = pred.where(F.col("match_probability") >= 0.9) \
         .select("unique_id_l", "unique_id_r")
     cc_times = []
+    cc_stats: dict = {}
     for _ in range(2):
         t0 = time.time()
-        member = solve_connected_components(nodes, edges)
+        member = solve_connected_components(nodes, edges, stats=cc_stats)
         out["n_clusters"] = member.select("cluster_id").distinct().count()
         cc_times.append(time.time() - t0)
     out["t_cluster_runs"] = [round(t, 3) for t in cc_times]
     out["t_cluster"] = min(cc_times)
+    out["cc_rounds"] = cc_stats.get("rounds")
     return out
 
 
@@ -314,6 +328,8 @@ def main() -> None:
         "n_rows": r["n_rows"],
         "n_pairs": r["n_pairs"],
         "n_clusters": r["n_clusters"],
+        "cc_rounds": r["cc_rounds"],
+        "pair_partitions": r["pair_partitions"],
         "t_score_runs": r["t_score_runs"],  # steady-state = min (noisy VM)
     }))
     spark.stop()

@@ -245,6 +245,133 @@ embed("#pattern-chart", {
     return page
 
 
+def generate_labelling_tool_comparisons(
+    linker,
+    record: dict,
+    match_weight_threshold: float = -4.0,
+) -> DataFrame:
+    """Candidate pairs for hand-labelling one record (reference
+    labelling_tool.py:24-59 generate_labelling_tool_comparisons): the
+    record is scored against the node table with the linker's own blocking
+    rules and model, keeping candidates above a match-WEIGHT threshold
+    (the reference's default -4 ~ probability 0.059)."""
+    uid = linker.settings.unique_id_column_name
+    rec = dict(record)
+    rec.setdefault(uid, "__labelling_target__")
+    new_df = linker.spark.createDataFrame(
+        [{**{f.name: None for f in linker._input.schema.fields}, **rec}],
+        linker._input.schema)
+    matches = linker.find_matches_to_new_records(new_df)
+    return matches.where(
+        F.col("match_weight") >= F.lit(float(match_weight_threshold)))
+
+
+def labelling_tool_dashboard(
+    matches: DataFrame,
+    settings: Settings,
+    max_candidates: int = 200,
+    show_predictions: bool = True,
+    out_path: str | None = None,
+) -> str:
+    """Single-file labelling-tool HTML (reference labelling_tool.py:62-114
+    render_labelling_tool_html): each candidate pair rendered as a
+    side-by-side record card with Match / Not match / Unsure buttons; the
+    collected labels are downloadable as JSON
+    (unique_id_l, unique_id_r, clerical_match_score in {1, 0, 0.5} — the
+    shape `truth_space_table` consumes). Optionally hides the model's own
+    predictions so labelling stays blind. Offline, dependency-free."""
+    settings = settings.with_defaults()
+    cols = []
+    for comp in settings.comparisons:
+        for lv in comp.levels:
+            for c in (lv.column or comp.column, lv.column2,
+                      lv.lat_column, lv.long_column):
+                if c and c not in cols:
+                    cols.append(c)
+    pair_cols = [c for c in cols
+                 if f"{c}_l" in matches.columns and f"{c}_r" in matches.columns]
+    keep = ["unique_id_l", "unique_id_r"]
+    keep += [f"{c}_{side}" for c in pair_cols for side in ("l", "r")]
+    for extra in ("match_weight", "match_probability", "match_key"):
+        if extra in matches.columns:
+            keep.append(extra)
+    rows = [r.asDict() for r in
+            matches.select(*keep)
+            .orderBy(F.desc_nulls_last("match_weight")
+                     if "match_weight" in keep else F.col("unique_id_r"))
+            .limit(max_candidates).collect()]
+    payload = {
+        "rows": [{k: (None if v is None else
+                      (float(v) if isinstance(v, float) else str(v)))
+                  for k, v in r.items()} for r in rows],
+        "columns": pair_cols,
+        "show_predictions": bool(show_predictions),
+    }
+    body = """
+<p class="muted">Label each candidate pair. Labels collect below and
+download as JSON (clerical_match_score: 1 match, 0 non-match, 0.5 unsure)
+ready for truth_space_table / estimate_m_from_pairwise_labels.</p>
+<div id="cards"></div>
+<h2>Labels</h2>
+<button id="download">Download labels JSON</button>
+<pre id="labels-out" style="background:#f7f7f7;padding:.5rem"></pre>
+"""
+    script = """
+const labels = {};
+const key = r => `${r.unique_id_l}|${r.unique_id_r}`;
+function renderLabels() {
+  const out = Object.entries(labels).map(([k, v]) => {
+    const [l, r] = k.split("|");
+    return {unique_id_l: l, unique_id_r: r, clerical_match_score: v};
+  });
+  document.getElementById("labels-out").textContent =
+    JSON.stringify(out, null, 1);
+  return out;
+}
+document.getElementById("download").addEventListener("click", () => {
+  const blob = new Blob([JSON.stringify(renderLabels(), null, 1)],
+                        {type: "application/json"});
+  const a = document.createElement("a");
+  a.href = URL.createObjectURL(blob);
+  a.download = "labels.json";
+  a.click();
+});
+const cards = document.getElementById("cards");
+DATA.rows.forEach((r, i) => {
+  const d = document.createElement("div");
+  d.style.cssText =
+    "border:1px solid #ccc;margin:.6rem 0;padding:.6rem;border-radius:4px";
+  let h = `<b>${r.unique_id_l}</b> vs <b>${r.unique_id_r}</b>`;
+  if (DATA.show_predictions && r.match_weight != null)
+    h += ` <span class="muted">weight ${(+r.match_weight).toFixed(3)},` +
+         ` p=${(+r.match_probability).toFixed(4)}</span>`;
+  h += "<table><tr><th>column</th><th>left</th><th>right</th></tr>";
+  for (const c of DATA.columns)
+    h += `<tr><td>${c}</td><td>${r[c + "_l"] ?? ""}</td>` +
+         `<td>${r[c + "_r"] ?? ""}</td></tr>`;
+  h += "</table>";
+  for (const [txt, v] of [["Match", 1], ["Not match", 0], ["Unsure", 0.5]]) {
+    h += `<button data-i="${i}" data-v="${v}">${txt}</button> `;
+  }
+  d.innerHTML = h;
+  d.querySelectorAll("button").forEach(b =>
+    b.addEventListener("click", () => {
+      labels[key(DATA.rows[+b.dataset.i])] = +b.dataset.v;
+      d.style.background = {1: "#e8f5e9", 0: "#ffebee",
+                            0.5: "#fffde7"}[+b.dataset.v];
+      renderLabels();
+    }));
+  cards.appendChild(d);
+});
+renderLabels();
+"""
+    page = _page("Labelling tool", payload, body, script)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(page)
+    return page
+
+
 def match_weights_dashboard(settings: Settings,
                             out_path: str | None = None) -> str:
     """Single-file page embedding the match-weights Vega-Lite spec

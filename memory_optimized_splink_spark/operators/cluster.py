@@ -82,23 +82,33 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out
 
 
-def connected_components_long(edges: DataFrame, max_iterations: int = 50
-                              ) -> DataFrame:
+def connected_components_long(edges: DataFrame, max_iterations: int = 50,
+                              stats: dict | None = None) -> DataFrame:
     """edges(u long, v long) -> assignments(u long, rep long) for every node
     that appears in an edge. rep = component minimum.
 
     Duplicate/symmetric input edges are fine: the first star round's own
-    distinct() subsumes a separate pre-dedup pass (one shuffle saved)."""
+    distinct() subsumes a separate pre-dedup pass (one shuffle saved).
+
+    Pass a dict as `stats` to receive {"rounds": n} — the number of
+    large-star/small-star rounds run INCLUDING the final no-change round
+    that proves the fixpoint (scale evidence: rounds grows O(log^2 n))."""
     e = _checkpoint(edges.select("u", "v").where(F.col("u") != F.col("v")))
     if e.isEmpty():
+        if stats is not None:
+            stats["rounds"] = 0
         return e.select(F.col("u"), F.col("v").alias("rep")).limit(0)
     prev = None
+    rounds = 0
     for _ in range(max_iterations):
         e = _checkpoint(_small_star(_large_star(e)))
+        rounds += 1
         cur = _checksum(e)
         if prev == cur:
             break
         prev = cur
+    if stats is not None:
+        stats["rounds"] = rounds
     # fixpoint edges are (node -> component min); add the roots themselves
     assign = e.select(F.col("u"), F.col("v").alias("rep")).union(
         e.select(F.col("v").alias("u"), F.col("v").alias("rep"))
@@ -114,10 +124,13 @@ def solve_connected_components(
     edge_r: str = "unique_id_r",
     with_md5_ids: bool = False,
     max_iterations: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Per-node membership (node_col, cluster_id). Isolated nodes become
     singleton clusters (reference unions self-loops,
-    connected_components.py:346-367 — here they just pass through)."""
+    connected_components.py:346-367 — here they just pass through).
+
+    `stats` (optional dict) receives {"rounds": n} from the star loop."""
     ids = nodes.select(F.col(node_col).alias("node_id")).distinct()
     idmap = _checkpoint(ids.withColumn("nid", F.monotonically_increasing_id()))
 
@@ -129,7 +142,8 @@ def solve_connected_components(
                            F.col("nid").alias("v")), on="node_r")
         .select("u", "v")
     )
-    assign = connected_components_long(e, max_iterations=max_iterations)
+    assign = connected_components_long(e, max_iterations=max_iterations,
+                                       stats=stats)
     # map back: rep nid -> rep node_id; isolated nodes rep = self
     rep_names = idmap.select(F.col("nid").alias("rep"),
                              F.col("node_id").alias("_rep_name"))

@@ -76,6 +76,23 @@ def test_duplicate_and_reversed_edges(spark):
     assert part == {frozenset({0, 1, 2}), frozenset({3})}
 
 
+def test_cc_stats_round_count(spark):
+    """stats dict receives the star-round count: >=1 on any non-empty edge
+    set, 0 on an empty one, and O(log^2 n)-small even on a 300-node path
+    (diameter 299 — min-propagation would need ~300 rounds)."""
+    n = 300
+    nodes = spark.createDataFrame(pd.DataFrame({"unique_id": range(n)}))
+    edges = spark.createDataFrame(path_graph_edges(n))
+    stats: dict = {}
+    solve_connected_components(nodes, edges, stats=stats).count()
+    assert 1 <= stats["rounds"] <= 12
+
+    empty = spark.createDataFrame([], "unique_id_l long, unique_id_r long")
+    stats2: dict = {}
+    solve_connected_components(nodes, empty, stats=stats2).count()
+    assert stats2["rounds"] == 0
+
+
 def test_md5_cluster_ids_stable_across_parallelism(spark):
     from pyspark.sql import functions as F
 

@@ -252,3 +252,93 @@ def test_comparison_viewer_and_match_weights_dashboards(
     assert payload["spec"]["$schema"].startswith(
         "https://vega.github.io/schema")
     assert out.read_text() == mw
+
+
+def test_labelling_tool_dashboard(spark, tmp_path, settings):
+    """Labelling tool HTML (reference labelling_tool.py:62-114): candidate
+    pairs become side-by-side cards with Match/Not match/Unsure buttons;
+    embedded payload carries the comparison columns and, optionally, the
+    model's predictions (blind mode strips the flag)."""
+    import json
+    import re
+
+    from memory_optimized_splink_spark.dashboards import (
+        labelling_tool_dashboard,
+    )
+
+    matches = spark.createDataFrame(
+        [("t", "2", "x", "x", "p", "q", 5.0, 0.97),
+         ("t", "3", "x", "y", "p", "p", -1.0, 0.33)],
+        "unique_id_l string, unique_id_r string, a_l string, a_r string, "
+        "b_l string, b_r string, match_weight double, "
+        "match_probability double")
+    out = tmp_path / "label.html"
+    html = labelling_tool_dashboard(matches, settings, out_path=str(out))
+    assert out.read_text() == html
+    m = re.search(
+        r'<script id="splink-data" type="application/json">(.*?)</script>',
+        html, re.S)
+    payload = json.loads(m.group(1))
+    assert payload["columns"] == ["a", "b"]
+    assert payload["show_predictions"] is True
+    # ordered by descending match_weight
+    assert [r["unique_id_r"] for r in payload["rows"]] == ["2", "3"]
+    assert payload["rows"][0]["a_l"] == "x"
+    assert "clerical_match_score" in html and "Not match" in html
+
+    blind = labelling_tool_dashboard(matches, settings,
+                                     show_predictions=False)
+    payload2 = json.loads(re.search(
+        r'<script id="splink-data" type="application/json">(.*?)</script>',
+        blind, re.S).group(1))
+    assert payload2["show_predictions"] is False
+
+    import shutil
+    import subprocess
+
+    if shutil.which("node"):
+        js = re.search(r"<script>\n(.*?)</script>\n</body>", html,
+                       re.S).group(1)
+        p = tmp_path / "label_inline.js"
+        p.write_text(js)
+        res = subprocess.run(["node", "--check", str(p)],
+                             capture_output=True, text=True)
+        assert res.returncode == 0, res.stderr
+
+
+def test_generate_labelling_tool_comparisons(spark):
+    """End-to-end: a target record scored against a small linker's nodes,
+    thresholded on match WEIGHT (reference default -4)."""
+    from memory_optimized_splink_spark.dashboards import (
+        generate_labelling_tool_comparisons,
+    )
+    from memory_optimized_splink_spark.linker import SparkLinker
+    from memory_optimized_splink_spark.model import (
+        Comparison, ComparisonLevel, Settings, block_on,
+    )
+
+    s = Settings(
+        comparisons=(
+            Comparison("name", "name", (
+                ComparisonLevel("null"),
+                ComparisonLevel("exact", m=0.9, u=0.01),
+                ComparisonLevel("else", m=0.1, u=0.99),
+            )),
+        ),
+        blocking_rules=(block_on("city"),),
+        probability_two_random_records_match=0.01,
+    )
+    nodes = spark.createDataFrame(
+        [("1", "ann", "ely"), ("2", "bob", "ely"), ("3", "ann", "rye")],
+        "unique_id string, name string, city string")
+    lk = SparkLinker(spark, nodes, s)
+    got = generate_labelling_tool_comparisons(
+        lk, {"name": "ann", "city": "ely"}, match_weight_threshold=-999)
+    rows = {r["unique_id_r"] for r in got.collect()} | \
+        {r["unique_id_l"] for r in got.collect()}
+    # blocking on city=ely pairs the target with records 1 and 2 only
+    assert "__labelling_target__" in rows
+    assert "3" not in rows
+    got2 = generate_labelling_tool_comparisons(
+        lk, {"name": "ann", "city": "ely"}, match_weight_threshold=0.0)
+    assert all(r["match_weight"] >= 0 for r in got2.collect())
