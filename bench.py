@@ -159,6 +159,67 @@ def run_pipeline(spark: SparkSession, sf_dir: str, variants: int = 40) -> dict:
     return out
 
 
+def scale_evidence(spark: SparkSession, sf_dir: str,
+                   variants: int = 320) -> dict:
+    """One-pass large-scale pipeline evidence (the 10x-up run): blocking ->
+    single timed scoring pass -> single CC pass, reporting per-stage wall
+    time, cc rounds, and pair-partition skew. One pass each because at
+    ~150M+ pairs a single pass is already minutes of steady-state work —
+    the 3-run min protocol is for the small, noise-dominated headline."""
+    s = EQ.entry_settings()
+    out: dict = {"variants": variants}
+    _warmup(spark)
+
+    t0 = time.time()
+    par = spark.sparkContext.defaultParallelism * 4
+    nodes = build_bench_nodes(spark, sf_dir, variants).repartition(par)
+    nodes = nodes.localCheckpoint(eager=True)
+    out["n_rows"] = nodes.count()
+    out["t_build"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    pairs = block_using_rules(nodes, s) \
+        .select("match_key", "unique_id_l", "unique_id_r") \
+        .localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    out["n_pairs"] = n_pairs
+    out["t_block"] = round(time.time() - t0, 2)
+
+    psizes = [r["c"] for r in pairs.groupBy(
+        F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("c")).collect()]
+    out["pair_partitions"] = {
+        "n": len(psizes), "max_rows": max(psizes),
+        "mean_rows": round(sum(psizes) / len(psizes), 1),
+        "skew_ratio": round(max(psizes) * len(psizes) / sum(psizes), 2),
+    }
+
+    t0 = time.time()
+    cv = compute_comparison_vectors(pairs, nodes, s)
+    pred = predict_op(cv, s)
+    row = pred.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("match_weight").alias("sw")).collect()[0]
+    assert row["n"] == n_pairs
+    out["t_score"] = round(time.time() - t0, 2)
+    out["pairs_scored_per_sec"] = round(n_pairs / out["t_score"], 1)
+
+    t0 = time.time()
+    edges = predict_op(compute_comparison_vectors(pairs, nodes, s), s) \
+        .where(F.col("match_probability") >= 0.9) \
+        .select("unique_id_l", "unique_id_r") \
+        .localCheckpoint(eager=True)
+    out["n_edges"] = edges.count()
+    out["t_score_materialize_edges"] = round(time.time() - t0, 2)
+
+    cc_stats: dict = {}
+    t0 = time.time()
+    member = solve_connected_components(nodes, edges, stats=cc_stats)
+    out["n_clusters"] = member.select("cluster_id").distinct().count()
+    out["t_cluster"] = round(time.time() - t0, 2)
+    out["cc_rounds"] = cc_stats.get("rounds")
+    return out
+
+
 def scoring_throughput(spark: SparkSession, sf_dir: str,
                        variants: int = 100, partitions: int = 128,
                        runs: int = 3) -> dict:
@@ -262,6 +323,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--skew", action="store_true")
+    ap.add_argument("--scale-evidence", action="store_true",
+                    help="one-pass large-variants pipeline run "
+                         "(per-stage times, cc rounds, partition skew)")
     ap.add_argument("--variants", type=int, default=40)
     ap.add_argument("--scale-n", type=int, default=4,
                     help="scaling mode compares local[N] vs local[4N]")
@@ -280,6 +344,16 @@ def main() -> None:
                           "value": round(r["plain"]["wall_sec"]
                                          / r["hot_key_split"]["wall_sec"], 3),
                           "unit": "ratio", "detail": r, "sf": sf}))
+        return
+
+    if args.scale_evidence:
+        spark = get_spark(app_name="bench-scale", master=f"local[{cpus}]",
+                          shuffle_partitions=max(cpus * 4, 128))
+        r = scale_evidence(spark, sf_dir, args.variants)
+        print(json.dumps({"metric": "scale_evidence_pairs_scored_per_sec",
+                          "value": r["pairs_scored_per_sec"],
+                          "unit": "pairs/sec", "detail": r, "sf": sf}))
+        spark.stop()
         return
 
     if args.scaling:

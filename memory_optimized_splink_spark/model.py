@@ -179,6 +179,17 @@ class Settings:
     # repeat across candidate pairs (names/cities/dobs), a net cost for
     # near-unique columns — hence opt-in
     dedupe_metric_values: bool = False
+    # pair-scoring join strategy: the candidate-pair table is ALWAYS much
+    # bigger than the node table (pairs ~ nodes x avg block size), so
+    # broadcasting the projected node side lets pairs stream with ZERO
+    # shuffle. Catalyst's own autoBroadcastJoinThreshold (64 MB here) is
+    # tuned for general queries and silently flips to sort-merge once the
+    # node projection outgrows it — which re-shuffles the huge pair table
+    # twice (measured 6.6x per-pair slowdown at 169M pairs). This cap
+    # (bytes, Catalyst plan-stats estimate) forces the broadcast up to
+    # ~1 GB; beyond it (1e9+ node rows at cluster scale) the engine falls
+    # back to Catalyst's choice / the bucketed co-located node path.
+    broadcast_node_join_max_bytes: int = 1 << 30
 
     def __post_init__(self):
         for f_ in ("comparisons", "blocking_rules", "additional_columns_to_retain",

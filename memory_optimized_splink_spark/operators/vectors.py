@@ -115,10 +115,28 @@ def columns_needed(settings: Settings) -> list[str]:
     return cols
 
 
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's own size estimate for the optimized plan (no job).
+    Classic-mode internal API; returns None where unavailable."""
+    try:
+        return int(str(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return None
+
+
 def pairs_with_columns(pairs: DataFrame, nodes: DataFrame,
                        settings: Settings) -> DataFrame:
     """Stage 1: (match_key, uid_l, uid_r) ⋈ nodes ⋈ nodes with minimal
-    projection (comparison_vector_values.py:112-119)."""
+    projection (comparison_vector_values.py:112-119).
+
+    The projected node side is explicitly broadcast while its plan-stats
+    estimate stays under settings.broadcast_node_join_max_bytes: pairs then
+    stream through both joins with no exchange. Left to Catalyst, a node
+    projection past autoBroadcastJoinThreshold (64 MB) flips to sort-merge
+    and re-shuffles the (much larger) pair table twice — measured 6.6x
+    per-pair slowdown at 169M pairs / 1.6M nodes. Past the cap the join
+    falls back to Catalyst's strategy (or the bucketed node path)."""
     uid = settings.unique_id_column_name
     cols = columns_needed(settings)
 
@@ -128,8 +146,15 @@ def pairs_with_columns(pairs: DataFrame, nodes: DataFrame,
             *[F.col(c).alias(f"{c}{suffix}") for c in cols],
         )
 
-    out = pairs.join(side("_l"), on="unique_id_l", how="inner")
-    out = out.join(side("_r"), on="unique_id_r", how="inner")
+    side_l, side_r = side("_l"), side("_r")
+    cap = getattr(settings, "broadcast_node_join_max_bytes", 0) or 0
+    if cap:
+        est = _plan_size_bytes(side_l)
+        if est is not None and est <= cap:
+            side_l, side_r = F.broadcast(side_l), F.broadcast(side_r)
+
+    out = pairs.join(side_l, on="unique_id_l", how="inner")
+    out = out.join(side_r, on="unique_id_r", how="inner")
     return out
 
 

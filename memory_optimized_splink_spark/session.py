@@ -39,6 +39,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # single-JVM local mode: heartbeats share the driver's RPC loop, so
+        # long GC pauses / CPU oversubscription can fake a "dead executor".
+        # Raise via env for very large local runs (no remote failure to
+        # detect); leave the defaults for clusters.
+        .config("spark.network.timeout",
+                os.environ.get("SPARK_GRAFT_NETWORK_TIMEOUT", "120s"))
+        .config("spark.executor.heartbeatInterval",
+                os.environ.get("SPARK_GRAFT_HEARTBEAT_INTERVAL", "10s"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")

@@ -213,3 +213,43 @@ def test_non_null_counts_is_one_job(spark):
     assert naive == counts
     # one aggregate job (AQE may add a stage-materialization job, never k+1)
     assert n_batched < n_naive and n_batched <= 2, (n_batched, n_naive)
+
+
+def test_pair_node_join_broadcast_beyond_catalyst_threshold(spark, repo_nodes):
+    """The pair->nodes join must stay a broadcast even when the node
+    projection exceeds Catalyst's autoBroadcastJoinThreshold (the silent
+    flip to sort-merge re-shuffles the much larger pair table twice —
+    measured 6.6x per-pair at 169M pairs). The explicit hint carries it up
+    to settings.broadcast_node_join_max_bytes; cap=0 restores Catalyst's
+    choice."""
+    from dataclasses import replace
+
+    from memory_optimized_splink_spark.operators.blocking import (
+        block_using_rules,
+    )
+    from memory_optimized_splink_spark.operators.vectors import (
+        pairs_with_columns,
+    )
+
+    s = EQ.entry_settings()
+    pairs = block_using_rules(repo_nodes, s).select(
+        "match_key", "unique_id_l", "unique_id_r")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # make Catalyst refuse every broadcast on size grounds
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+
+        def node_join_lines(plan: str) -> list[str]:
+            return [ln for ln in plan.splitlines()
+                    if "Join [unique_id_l" in ln or "Join [unique_id_r" in ln]
+
+        lines = node_join_lines(_plan(pairs_with_columns(pairs, repo_nodes, s)))
+        assert lines and all("BroadcastHashJoin" in ln for ln in lines), lines
+        # cap 0 disables the hint -> Catalyst's (non-broadcast) strategy
+        s0 = replace(s, broadcast_node_join_max_bytes=0)
+        lines0 = node_join_lines(
+            _plan(pairs_with_columns(pairs, repo_nodes, s0)))
+        assert lines0 and not any("BroadcastHashJoin" in ln
+                                  for ln in lines0), lines0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
