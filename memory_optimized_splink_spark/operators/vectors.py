@@ -221,6 +221,19 @@ def with_comparison_metrics(df: DataFrame, settings: Settings,
             *[_metric_expr(kind, F.col(l_key), F.col(r_key)).alias(name)
               for name, kind in metrics],
         )
+        # same silent-flip hazard as the node joins: the metric table for a
+        # repetitive column is small vs the pair table, but can outgrow
+        # Catalyst's 64 MB threshold, re-shuffling the pair table for the
+        # join-back. Materialize the (small, deduped) metric table — also
+        # guaranteeing the kernels run exactly once per value pair — and
+        # hint from its ACTUAL size (pre-aggregation plan stats can't see
+        # the distinct's cardinality and would never fire).
+        cap = getattr(settings, "broadcast_node_join_max_bytes", 0) or 0
+        if cap:
+            dist = dist.localCheckpoint(eager=True)
+            est = _plan_size_bytes(dist)
+            if est is not None and est <= cap:
+                dist = F.broadcast(dist)
         df = df.join(
             dist,
             df[l_key].eqNullSafe(dist["_dk_l"])
