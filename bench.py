@@ -105,15 +105,21 @@ def run_pipeline(spark: SparkSession, sf_dir: str, variants: int = 40) -> dict:
     out["t_block"] = time.time() - t0
 
     # peak-partition skew of the blocking output (scale evidence: a hot
-    # blocking key shows up here as max >> mean partition rows)
-    psizes = [r["c"] for r in pairs.groupBy(
+    # blocking key shows up here as max >> mean partition rows). groupBy
+    # only yields rows for NON-empty partitions, so fill zeros up to the
+    # RDD's partition count — an all-empty tail is itself skew evidence.
+    counts = {r["pid"]: r["c"] for r in pairs.groupBy(
         F.spark_partition_id().alias("pid"))
-        .agg(F.count(F.lit(1)).alias("c")).collect()]
+        .agg(F.count(F.lit(1)).alias("c")).collect()}
+    n_part = pairs.rdd.getNumPartitions()
+    psizes = [counts.get(i, 0) for i in range(n_part)]
+    total = sum(psizes)
     out["pair_partitions"] = {
-        "n": len(psizes),
-        "max_rows": max(psizes),
-        "mean_rows": round(sum(psizes) / len(psizes), 1),
-        "skew_ratio": round(max(psizes) * len(psizes) / sum(psizes), 2),
+        "n": n_part,
+        "max_rows": max(psizes, default=0),
+        "mean_rows": round(total / n_part, 1) if n_part else 0.0,
+        "skew_ratio": (round(max(psizes) * n_part / total, 2)
+                       if total else None),
     }
 
     # two timed scoring runs; keep the steady-state (the sandbox VM is

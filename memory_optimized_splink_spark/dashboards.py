@@ -121,17 +121,33 @@ for (const id of ids) {
   sel.appendChild(o);
 }
 function table(el, rows) {
-  if (!rows.length) { document.querySelector(el).textContent = "(none)"; return; }
+  // record values are untrusted: cells via createElement/textContent so
+  // markup in a field renders as text instead of injecting into the page
+  const host = document.querySelector(el);
+  host.replaceChildren();
+  if (!rows.length) { host.textContent = "(none)"; return; }
   const cols = Object.keys(rows[0]);
-  let h = "<table><tr>" + cols.map(c => `<th>${c}</th>`).join("") + "</tr>";
-  for (const r of rows)
-    h += "<tr>" + cols.map(c => `<td>${r[c]}</td>`).join("") + "</tr>";
-  document.querySelector(el).innerHTML = h + "</table>";
+  const t = document.createElement("table");
+  const hr = document.createElement("tr");
+  for (const c of cols) {
+    const th = document.createElement("th"); th.textContent = c;
+    hr.appendChild(th);
+  }
+  t.appendChild(hr);
+  for (const r of rows) {
+    const tr = document.createElement("tr");
+    for (const c of cols) {
+      const td = document.createElement("td"); td.textContent = r[c] ?? "";
+      tr.appendChild(td);
+    }
+    t.appendChild(tr);
+  }
+  host.appendChild(t);
 }
 function draw(id) {
   const {members, edges} = byCluster[id];
   const svg = document.getElementById("graph");
-  svg.innerHTML = "";
+  svg.replaceChildren();
   const cx = 210, cy = 210, R = 170, pos = {};
   members.forEach((m, i) => {
     const a = 2 * Math.PI * i / members.length - Math.PI / 2;
@@ -218,18 +234,30 @@ for (const r of rows) {
 }
 const keys = Object.keys(patterns).sort(
   (a, b) => patterns[b].count - patterns[a].count);
-let h = "<table><tr>" + g.map(c => `<th>${c}</th>`).join("") +
-  "<th>count</th><th>example pair</th><th>match_weight</th></tr>";
+// untrusted record values: build cells via createElement/textContent
+const tbl = document.createElement("table");
+const hr = document.createElement("tr");
+for (const c of [...g, "count", "example pair", "match_weight"]) {
+  const th = document.createElement("th"); th.textContent = c;
+  hr.appendChild(th);
+}
+tbl.appendChild(hr);
 for (const k of keys) {
   const p = patterns[k];
   for (const e of p.examples) {
-    h += "<tr>" + g.map(c => `<td>${e[c]}</td>`).join("") +
-      `<td>${p.count}</td><td>${e.unique_id_l} / ${e.unique_id_r}</td>` +
-      `<td>${e.match_weight == null ? "" :
-             (+e.match_weight).toFixed(4)}</td></tr>`;
+    const tr = document.createElement("tr");
+    const cells = [...g.map(c => e[c]), p.count,
+                   `${e.unique_id_l} / ${e.unique_id_r}`,
+                   e.match_weight == null ? "" :
+                     (+e.match_weight).toFixed(4)];
+    for (const v of cells) {
+      const td = document.createElement("td"); td.textContent = v ?? "";
+      tr.appendChild(td);
+    }
+    tbl.appendChild(tr);
   }
 }
-document.getElementById("pattern-table").innerHTML = h + "</table>";
+document.getElementById("pattern-table").replaceChildren(tbl);
 embed("#pattern-chart", {
   "$schema": "https://vega.github.io/schema/vega-lite/v5.json",
   data: {values: keys.map(k => ({pattern: k, count: patterns[k].count}))},
@@ -317,11 +345,16 @@ ready for truth_space_table / estimate_m_from_pairwise_labels.</p>
 <pre id="labels-out" style="background:#f7f7f7;padding:.5rem"></pre>
 """
     script = """
+// record values are UNTRUSTED data: every cell is built via
+// createElement/textContent, so markup in a field (e.g. an img tag with
+// an onerror handler) renders as text instead of injecting into the page.
+// Label keys are JSON arrays, not a "|" join, so ids containing "|"
+// round-trip intact.
 const labels = {};
-const key = r => `${r.unique_id_l}|${r.unique_id_r}`;
+const key = r => JSON.stringify([r.unique_id_l, r.unique_id_r]);
 function renderLabels() {
   const out = Object.entries(labels).map(([k, v]) => {
-    const [l, r] = k.split("|");
+    const [l, r] = JSON.parse(k);
     return {unique_id_l: l, unique_id_r: r, clerical_match_score: v};
   });
   document.getElementById("labels-out").textContent =
@@ -336,31 +369,44 @@ document.getElementById("download").addEventListener("click", () => {
   a.download = "labels.json";
   a.click();
 });
+const el = (tag, text, parent) => {
+  const e = document.createElement(tag);
+  if (text != null) e.textContent = text;
+  if (parent) parent.appendChild(e);
+  return e;
+};
 const cards = document.getElementById("cards");
 DATA.rows.forEach((r, i) => {
   const d = document.createElement("div");
   d.style.cssText =
     "border:1px solid #ccc;margin:.6rem 0;padding:.6rem;border-radius:4px";
-  let h = `<b>${r.unique_id_l}</b> vs <b>${r.unique_id_r}</b>`;
-  if (DATA.show_predictions && r.match_weight != null)
-    h += ` <span class="muted">weight ${(+r.match_weight).toFixed(3)},` +
-         ` p=${(+r.match_probability).toFixed(4)}</span>`;
-  h += "<table><tr><th>column</th><th>left</th><th>right</th></tr>";
-  for (const c of DATA.columns)
-    h += `<tr><td>${c}</td><td>${r[c + "_l"] ?? ""}</td>` +
-         `<td>${r[c + "_r"] ?? ""}</td></tr>`;
-  h += "</table>";
-  for (const [txt, v] of [["Match", 1], ["Not match", 0], ["Unsure", 0.5]]) {
-    h += `<button data-i="${i}" data-v="${v}">${txt}</button> `;
+  const head = el("div", null, d);
+  el("b", r.unique_id_l, head);
+  head.appendChild(document.createTextNode(" vs "));
+  el("b", r.unique_id_r, head);
+  if (DATA.show_predictions && r.match_weight != null) {
+    const s = el("span", ` weight ${(+r.match_weight).toFixed(3)},` +
+                         ` p=${(+r.match_probability).toFixed(4)}`, head);
+    s.className = "muted";
   }
-  d.innerHTML = h;
-  d.querySelectorAll("button").forEach(b =>
+  const tbl = el("table", null, d);
+  const hr = el("tr", null, tbl);
+  for (const t of ["column", "left", "right"]) el("th", t, hr);
+  for (const c of DATA.columns) {
+    const tr = el("tr", null, tbl);
+    el("td", c, tr);
+    el("td", r[c + "_l"] ?? "", tr);
+    el("td", r[c + "_r"] ?? "", tr);
+  }
+  for (const [txt, v] of [["Match", 1], ["Not match", 0], ["Unsure", 0.5]]) {
+    const b = el("button", txt, d);
     b.addEventListener("click", () => {
-      labels[key(DATA.rows[+b.dataset.i])] = +b.dataset.v;
-      d.style.background = {1: "#e8f5e9", 0: "#ffebee",
-                            0.5: "#fffde7"}[+b.dataset.v];
+      labels[key(r)] = v;
+      d.style.background = {1: "#e8f5e9", 0: "#ffebee", 0.5: "#fffde7"}[v];
       renderLabels();
-    }));
+    });
+    d.appendChild(document.createTextNode(" "));
+  }
   cards.appendChild(d);
 });
 renderLabels();

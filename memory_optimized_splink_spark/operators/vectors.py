@@ -117,12 +117,56 @@ def columns_needed(settings: Settings) -> list[str]:
 
 def _plan_size_bytes(df: DataFrame) -> int | None:
     """Catalyst's own size estimate for the optimized plan (no job).
-    Classic-mode internal API; returns None where unavailable."""
+    Classic-mode internal API; returns None where unavailable.
+
+    NOTE: this is a PLAN estimate — it cannot see through aggregations, and
+    (verified on PySpark 4.1.2) a localCheckpoint does NOT reset it: the
+    stats of a checkpointed DataFrame still report the origin plan's
+    pre-aggregation size. Use only on plans whose estimate is scan-shaped
+    (projections of source tables); for materialized tables use
+    _measured_size_bytes."""
     try:
         return int(str(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
     except Exception:
         return None
+
+
+_FIXED_WIDTHS = {
+    "boolean": 1, "tinyint": 1, "smallint": 2, "int": 4, "float": 4,
+    "bigint": 8, "double": 8, "date": 4, "timestamp": 8, "timestamp_ntz": 8,
+}
+
+
+def _measured_size_bytes(df: DataFrame) -> int | None:
+    """Actual UnsafeRow-ish size of a MATERIALIZED DataFrame, from one
+    JVM-side aggregate (sum of string octet lengths + fixed widths + row
+    overhead). Plan stats can't give this (see _plan_size_bytes); the
+    caller must have already materialized df (localCheckpoint) so this
+    aggregate scans cached blocks and re-runs no upstream (Python) work.
+    Returns None for schemas with variable-width non-string fields (arrays,
+    maps, structs) where the width is not cheaply measurable."""
+    aggs, fixed = [], 0
+    for fld in df.schema.fields:
+        t = fld.dataType.simpleString()
+        if t == "string":
+            aggs.append(
+                F.sum(F.coalesce(F.octet_length(F.col(fld.name)), F.lit(0))))
+        elif t in _FIXED_WIDTHS:
+            fixed += 8  # UnsafeRow stores fixed-width fields in 8-byte slots
+        else:
+            return None
+    try:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[a.alias(f"s{i}") for i, a in enumerate(aggs)],
+        ).collect()[0]
+    except Exception:
+        return None
+    n = row["n"] or 0
+    str_bytes = sum(int(row[f"s{i}"] or 0) for i in range(len(aggs)))
+    # per row: 8B null bitset word + 8B per field (offset+len or value)
+    return str_bytes + n * (8 * (len(df.schema.fields) + 1) + fixed)
 
 
 def pairs_with_columns(pairs: DataFrame, nodes: DataFrame,
@@ -149,8 +193,12 @@ def pairs_with_columns(pairs: DataFrame, nodes: DataFrame,
     side_l, side_r = side("_l"), side("_r")
     cap = getattr(settings, "broadcast_node_join_max_bytes", 0) or 0
     if cap:
+        # BOTH aliased projections are broadcast, so the resident footprint
+        # per executor is 2x the per-side size — the cap bounds the TOTAL
+        # (2*est), not each side, so executors with modest memory on a real
+        # cluster never hold more than `cap` bytes of node broadcast.
         est = _plan_size_bytes(side_l)
-        if est is not None and est <= cap:
+        if est is not None and 2 * est <= cap:
             side_l, side_r = F.broadcast(side_l), F.broadcast(side_r)
 
     out = pairs.join(side_l, on="unique_id_l", how="inner")
@@ -225,13 +273,16 @@ def with_comparison_metrics(df: DataFrame, settings: Settings,
         # repetitive column is small vs the pair table, but can outgrow
         # Catalyst's 64 MB threshold, re-shuffling the pair table for the
         # join-back. Materialize the (small, deduped) metric table — also
-        # guaranteeing the kernels run exactly once per value pair — and
-        # hint from its ACTUAL size (pre-aggregation plan stats can't see
-        # the distinct's cardinality and would never fire).
+        # guaranteeing the kernels run exactly once per value pair — then
+        # MEASURE its size with one aggregate over the cached blocks. Plan
+        # stats cannot be used here: they can't see the distinct's
+        # cardinality, and a localCheckpoint does not reset them (the
+        # checkpointed plan still reports the origin's pre-aggregation
+        # estimate, which scales with the pair table and would never fire).
         cap = getattr(settings, "broadcast_node_join_max_bytes", 0) or 0
         if cap:
             dist = dist.localCheckpoint(eager=True)
-            est = _plan_size_bytes(dist)
+            est = _measured_size_bytes(dist)
             if est is not None and est <= cap:
                 dist = F.broadcast(dist)
         df = df.join(

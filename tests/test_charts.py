@@ -285,6 +285,11 @@ def test_labelling_tool_dashboard(spark, tmp_path, settings):
     assert [r["unique_id_r"] for r in payload["rows"]] == ["2", "3"]
     assert payload["rows"][0]["a_l"] == "x"
     assert "clerical_match_score" in html and "Not match" in html
+    # record values are untrusted: cells must be built via
+    # createElement/textContent, never innerHTML, and label keys must be
+    # JSON arrays (a "|" join corrupts ids containing "|")
+    assert "innerHTML" not in html
+    assert "JSON.stringify([r.unique_id_l, r.unique_id_r])" in html
 
     blind = labelling_tool_dashboard(matches, settings,
                                      show_predictions=False)

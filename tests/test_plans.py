@@ -253,3 +253,64 @@ def test_pair_node_join_broadcast_beyond_catalyst_threshold(spark, repo_nodes):
                                   for ln in lines0), lines0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_measured_size_sees_through_aggregation(spark):
+    """_plan_size_bytes of a checkpointed distinct still reports the origin
+    plan's pre-aggregation estimate (PySpark 4.1.2 behavior — a 15-row
+    distinct of 200k rows looks ~13000x too big), which is why the
+    dedupe-metric broadcast decision must use _measured_size_bytes: one
+    aggregate over the cached blocks, scaling with the DISTINCT rows."""
+    from memory_optimized_splink_spark.operators.vectors import (
+        _measured_size_bytes,
+        _plan_size_bytes,
+    )
+
+    big = spark.range(200_000).select(
+        (F.col("id") % 15).cast("string").alias("v_l"),
+        ((F.col("id") + 1) % 15).cast("string").alias("v_r"),
+    )
+    dist = big.distinct().localCheckpoint(eager=True)
+    measured = _measured_size_bytes(dist)
+    n = dist.count()
+    assert measured is not None
+    # 15 distinct rows x (2 short strings + overhead): well under 8 KiB
+    assert measured < 8192, measured
+    assert measured >= n * 8  # and not absurdly small either
+    est = _plan_size_bytes(dist)
+    if est is not None:  # the defect this guards against: est >> measured
+        assert est > measured * 100, (est, measured)
+    # unsupported (array) schema declines rather than guessing
+    arr = spark.range(5).select(F.array(F.col("id")).alias("a"))
+    assert _measured_size_bytes(arr.localCheckpoint(eager=True)) is None
+
+
+def test_dedupe_metric_join_back_is_broadcast(spark, repo_nodes):
+    """With dedupe_metric_values=True the per-value-pair metric table must
+    join back via BroadcastHashJoin even when Catalyst's own threshold
+    would refuse it — the explicit hint fires from the MEASURED
+    materialized size (plan stats would report the pre-distinct size and
+    never fire)."""
+    from dataclasses import replace
+
+    from memory_optimized_splink_spark.operators.blocking import (
+        block_using_rules,
+    )
+    from memory_optimized_splink_spark.operators.vectors import (
+        pairs_with_columns,
+        with_comparison_metrics,
+    )
+
+    s = replace(EQ.entry_settings(), dedupe_metric_values=True)
+    pairs = block_using_rules(repo_nodes, s).select(
+        "match_key", "unique_id_l", "unique_id_r")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+        withcols = pairs_with_columns(pairs, repo_nodes, s)
+        plan = _plan(with_comparison_metrics(withcols, s, dedupe_inputs=True))
+        joins = [ln for ln in plan.splitlines()
+                 if "_dk_l" in ln and "Join" in ln]
+        assert joins and all("BroadcastHashJoin" in ln for ln in joins), joins
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
