@@ -88,8 +88,6 @@ def streaming_edge_clustering(
     Returns the StreamingQuery. Read results with
     `read_current_membership(spark, membership_dir)`.
     """
-    import os
-
     from ..operators.cluster import solve_connected_components
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -124,10 +122,7 @@ def streaming_edge_clustering(
             "node_id", F.min("node_id").over(w).alias("cluster_id"))
         out = f"{membership_dir}/v{batch_id}"
         membership.write.mode("overwrite").parquet(out)
-        tmp = f"{membership_dir}/_CURRENT.tmp"
-        with open(tmp, "w") as f:
-            f.write(f"v{batch_id}")
-        os.replace(tmp, f"{membership_dir}/_CURRENT")
+        _write_pointer(spark, membership_dir, f"v{batch_id}")
 
     writer = edges_stream.writeStream.foreachBatch(process)
     if checkpoint_location:
@@ -137,16 +132,75 @@ def streaming_edge_clustering(
     return writer.start()
 
 
+def _hadoop_fs(spark, path_str: str):
+    """(FileSystem, Path) for a path string, resolved through the session's
+    Hadoop configuration — so `membership_dir` may live on HDFS, S3A, or a
+    file:/ URI, exactly like the parquet versions Spark writes next to it.
+    A driver-local `open()`/`os.replace` would silently put the commit
+    pointer on the driver's local disk on any real cluster."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _write_pointer(spark, membership_dir: str, version: str) -> None:
+    """Commit `version` to `<membership_dir>/_CURRENT` with write-then-swap
+    through the Hadoop FileSystem API: the tmp file is fully written and
+    closed before it replaces the pointer, so a crash mid-commit leaves the
+    previous good version readable. The swap is atomic on HDFS/posix
+    (FileContext rename with OVERWRITE); on S3A rename is copy+delete —
+    non-atomic but still last-writer-wins on a single small object."""
+    jvm = spark._jvm
+    fs, tmp = _hadoop_fs(spark, f"{membership_dir}/_CURRENT.tmp")
+    final = jvm.org.apache.hadoop.fs.Path(f"{membership_dir}/_CURRENT")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(version.encode("utf-8")))
+    finally:
+        out.close()
+    try:
+        # atomic overwriting rename where the filesystem supports it
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            spark._jsc.hadoopConfiguration())
+        overwrite = getattr(jvm.org.apache.hadoop.fs.Options, "Rename") \
+            .OVERWRITE
+        fc.rename(tmp, final, _to_jarray(jvm, overwrite))
+    except Exception:
+        # fallback: delete + rename (brief pointer-absent window)
+        if fs.exists(final):
+            fs.delete(final, False)
+        fs.rename(tmp, final)
+
+
+def _to_jarray(jvm, rename_option):
+    arr = jvm.py4j.reflection.ReflectionUtil.classForName(
+        "org.apache.hadoop.fs.Options$Rename")
+    jarr = jvm.java.lang.reflect.Array.newInstance(arr, 1)
+    jarr[0] = rename_option
+    return jarr
+
+
+def _read_pointer(spark, membership_dir: str) -> str | None:
+    fs, ptr = _hadoop_fs(spark, f"{membership_dir}/_CURRENT")
+    if not fs.exists(ptr):
+        return None
+    stream = fs.open(ptr)
+    try:
+        # commons-io ships with every Spark distribution
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8").strip()
+    finally:
+        stream.close()
+
+
 def read_current_membership(spark, membership_dir: str) -> DataFrame | None:
     """(node_id, cluster_id) of the latest committed clustering version, or
-    None before the first batch."""
-    import os
-
-    ptr = f"{membership_dir}/_CURRENT"
-    if not os.path.exists(ptr):
+    None before the first batch. The `_CURRENT` pointer is read through the
+    Hadoop FileSystem API so `membership_dir` may be any Hadoop-supported
+    URI (HDFS, S3A, file:/), matching where the versions were written."""
+    version = _read_pointer(spark, membership_dir)
+    if version is None:
         return None
-    with open(ptr) as f:
-        version = f.read().strip()
     return spark.read.parquet(f"{membership_dir}/{version}") \
         .select("node_id", "cluster_id")
 

@@ -153,9 +153,10 @@ def test_streaming_edge_clustering_merges_late_bridge(spark, tmp_path):
 
     src = str(tmp_path / "edges")
     ckpt = str(tmp_path / "ckpt")
-    mdir = str(tmp_path / "membership")
-    import os
-    os.makedirs(mdir, exist_ok=True)
+    # membership_dir as a non-local file:/ URI: the _CURRENT pointer must
+    # go through the Hadoop FileSystem API (a driver-local open() would
+    # write a file literally named "file:/..." relative to the cwd)
+    mdir = (tmp_path / "membership").as_uri().replace("file:///", "file:/")
     schema = "unique_id_l string, unique_id_r string"
 
     def run():
@@ -189,3 +190,31 @@ def test_streaming_edge_clustering_merges_late_bridge(spark, tmp_path):
     batch_cc = {r["node_id"]: r["cluster_id"] for r in batch_cc.select(
         "node_id", F.min("node_id").over(w).alias("cluster_id")).collect()}
     assert got2 == batch_cc
+
+    # the pointer itself lives on the Hadoop FS at the URI, not on the
+    # driver's cwd-relative local disk
+    import os
+    assert (tmp_path / "membership" / "_CURRENT").exists()
+    assert not os.path.exists("file:")  # no mangled local artifact
+
+
+def test_membership_pointer_goes_through_hadoop_fs(spark, tmp_path):
+    """_write_pointer/_read_pointer round-trip through the Hadoop
+    FileSystem layer: write-then-swap (no partial pointer), overwrite on
+    recommit, readable on a file:/ URI the local open() path can't see."""
+    from memory_optimized_splink_spark.streaming.incremental import (
+        _hadoop_fs, _read_pointer, _write_pointer,
+    )
+
+    mdir = (tmp_path / "m").as_uri().replace("file:///", "file:/")
+    assert _read_pointer(spark, mdir) is None
+    _write_pointer(spark, mdir, "v0")
+    assert _read_pointer(spark, mdir) == "v0"
+    _write_pointer(spark, mdir, "v7")          # overwrite commit
+    assert _read_pointer(spark, mdir) == "v7"
+    fs, ptr = _hadoop_fs(spark, f"{mdir}/_CURRENT")
+    assert fs.exists(ptr)
+    # no leftover tmp after the swap
+    _, tmp = _hadoop_fs(spark, f"{mdir}/_CURRENT.tmp")
+    assert not fs.exists(tmp)
+    assert (tmp_path / "m" / "_CURRENT").read_text().strip() == "v7"
