@@ -262,6 +262,330 @@ def waterfall_chart_spec(pair_records: list[dict]) -> dict:
     return spec
 
 
+_HIST_BIN_WIDTHS = (0.01, 0.1, 0.2, 0.25, 0.5, 1.0, 2.0, 5.0)
+
+
+def _histogram_bin_width(min_w: float, max_w: float, target_bins: int
+                         ) -> float:
+    """Reference _bins ladder (match_weights_histogram.py:11-32): the fixed
+    width nearest (max-min)/target_bins; first minimum wins (= smallest
+    width among ties, the ladder being ascending)."""
+    rough = (max_w - min_w) / target_bins
+    best, best_diff = _HIST_BIN_WIDTHS[0], abs(_HIST_BIN_WIDTHS[0] - rough)
+    for w in _HIST_BIN_WIDTHS[1:]:
+        d = abs(w - rough)
+        if d < best_diff:
+            best, best_diff = w, d
+    return best
+
+
+def match_weights_histogram_data(pred: DataFrame, target_bins: int = 30
+                                 ) -> DataFrame:
+    """Histogram of predict() match weights (reference
+    visualisations.py:112 / match_weights_histogram.py:66-96): bin width
+    chosen from the fixed ladder, then ONE distributed groupBy on
+    floor(match_weight / width). Driver-side work is a 2-scalar min/max
+    aggregate; the histogram itself never leaves the cluster until its
+    ≤O(range/width) bin rows are read."""
+    spark = pred.sparkSession
+    schema = ("splink_score_bin_low double, binwidth double, "
+              "count_rows bigint, splink_score_bin_high double")
+    row = pred.agg(F.min("match_weight").alias("mn"),
+                   F.max("match_weight").alias("mx")).collect()[0]
+    if row["mn"] is None:
+        return spark.createDataFrame([], schema)
+    w = _histogram_bin_width(float(row["mn"]), float(row["mx"]), target_bins)
+    low = F.lit(w) * F.floor(F.col("match_weight") / F.lit(w)).cast("double")
+    return (pred.groupBy(low.alias("splink_score_bin_low"))
+            .agg(F.count(F.lit(1)).alias("count_rows"))
+            .select("splink_score_bin_low",
+                    F.lit(w).alias("binwidth"),
+                    "count_rows",
+                    (F.col("splink_score_bin_low") + F.lit(w))
+                    .alias("splink_score_bin_high"))
+            .orderBy("splink_score_bin_low"))
+
+
+def match_weights_histogram_spec(pred: DataFrame, target_bins: int = 30,
+                                 width: int = 600, height: int = 250) -> dict:
+    """Vega-Lite spec over match_weights_histogram_data (reference chart def
+    files/chart_defs/match_weight_histogram.json shape: binned bars with
+    explicit bin_low/bin_high)."""
+    records = [r.asDict() for r in
+               match_weights_histogram_data(pred, target_bins).collect()]
+    spec = _vegalite(
+        "Histogram of match weights",
+        records,
+        "bar",
+        {
+            "x": {"field": "splink_score_bin_low", "type": "quantitative",
+                  "bin": "binned", "axis": {"title": "Match weight"}},
+            "x2": {"field": "splink_score_bin_high"},
+            "y": {"field": "count_rows", "type": "quantitative",
+                  "axis": {"title": "Count of record comparisons in bin"}},
+            "tooltip": [{"field": "count_rows", "title": "Count in bin",
+                         "type": "quantitative"}],
+        },
+    )
+    spec["width"], spec["height"] = width, height
+    return spec
+
+
+def parameter_estimate_comparisons_data(
+    estimates: list[tuple[str, Settings]],
+    include_m: bool = True,
+    include_u: bool = False,
+) -> list[dict[str, Any]]:
+    """Records comparing m/u estimates across training sessions (reference
+    visualisations.py:146 / comparison_level.py:839-862): one record per
+    (session, comparison level, m-or-u). `estimates` pairs a description of
+    each estimation session ("EM blocked on first_name", "u from random
+    sampling", ...) with the Settings it produced — the same list
+    train.combine_sessions_median consumes."""
+    to_retain = ([] if not include_m else ["m"]) + \
+        ([] if not include_u else ["u"])
+    records: list[dict[str, Any]] = []
+    for description, s in estimates:
+        for comp in s.comparisons:
+            for gamma, lv in sorted(comp.graded_levels, key=lambda t: -t[0]):
+                for m_or_u, p in (("m", lv.m), ("u", lv.u)):
+                    if m_or_u not in to_retain or p is None:
+                        continue
+                    records.append({
+                        "comparison_name": comp.name,
+                        "comparison_level_label": lv.describe(),
+                        "comparison_vector_value": gamma,
+                        "m_or_u": m_or_u,
+                        "estimated_probability": p,
+                        "estimated_probability_as_log_odds":
+                            math.log2(p / (1 - p)) if 0.0 < p < 1.0 else None,
+                        "estimate_description": description,
+                    })
+    return records
+
+
+def parameter_estimate_comparisons_chart_spec(
+    estimates: list[tuple[str, Settings]],
+    include_m: bool = True,
+    include_u: bool = False,
+) -> dict:
+    """Point chart of parameter estimates across sessions (reference chart
+    def parameter_estimate_comparisons.json shape: points colored/shaped by
+    session, row-faceted by comparison, x = log odds)."""
+    return _vegalite(
+        "Comparison of parameter estimates across training sessions",
+        parameter_estimate_comparisons_data(estimates, include_m, include_u),
+        {"type": "point", "filled": False, "opacity": 0.7, "size": 100},
+        {
+            "x": {"field": "estimated_probability_as_log_odds",
+                  "type": "quantitative", "title": "Estimate (log odds)"},
+            "y": {"field": "comparison_level_label", "type": "nominal",
+                  "sort": None, "title": None},
+            "row": {"field": "comparison_name", "type": "nominal",
+                    "sort": None},
+            "column": {"field": "m_or_u", "type": "nominal", "title": None},
+            "color": {"field": "estimate_description", "type": "nominal"},
+            "shape": {"field": "estimate_description", "type": "nominal",
+                      "scale": {"range": ["circle", "square", "triangle",
+                                          "diamond"]}},
+            "tooltip": [{"field": "comparison_name"},
+                        {"field": "estimate_description"},
+                        {"field": "estimated_probability",
+                         "type": "quantitative"}],
+        },
+        resolve={"scale": {"y": "independent"}},
+    )
+
+
+def tf_adjustment_chart_data(
+    tf_table: DataFrame,
+    comp: Comparison,
+    n_records: float | dict,
+    tf_style: str = "fork_count",
+    n_most_freq: int = 10,
+    n_least_freq: int = 10,
+    vals_to_include: list[str] | None = None,
+) -> list[dict[str, Any]]:
+    """Per-value TF-adjustment records for one comparison (reference
+    term_frequencies.py:291-360): for every TF-adjusted level, the log2
+    Bayes-factor adjustment each distinct value would contribute, ranked by
+    frequency, keeping the n most/least frequent plus any requested values.
+
+    Parity by construction: the multiplier column is the EXACT
+    score.tf_adjustment_column expression predict() applies — the tf table's
+    count is aliased to both pair sides and the level's gamma substituted —
+    so 2**log2_bf_tf equals predict(keep_bf_columns=True)'s bf_tf_adj for a
+    pair matching on that value (test-asserted against the oracle-green
+    predict_tf model)."""
+    from .operators.score import bf_lookup, tf_adjustment_column
+
+    tf_levels = [(g, lv) for g, lv in comp.graded_levels
+                 if lv.tf_adjustment and lv.kind != "else"]
+    if not tf_levels:
+        raise ValueError(
+            f"comparison {comp.name} has no term-frequency-adjusted level")
+    bfs = bf_lookup(comp)
+    parts = []
+    for gamma, lv in tf_levels:
+        c = lv.column or comp.column
+        synth = (tf_table
+                 .select(F.col(c).alias("value"),
+                         F.col(f"tf_{c}").alias("tf_count"))
+                 .where(F.col("value").isNotNull())
+                 .select("value", "tf_count",
+                         F.col("tf_count").alias(f"tf_{c}_l"),
+                         F.col("tf_count").alias(f"tf_{c}_r"),
+                         F.lit(gamma).alias(comp.gamma_column)))
+        mult = tf_adjustment_column(comp, n_records, tf_style=tf_style)
+        lb = math.log2(bfs[gamma]) if bfs[gamma] > 0 else -math.inf
+        parts.append(synth.select(
+            "value", "tf_count",
+            F.lit(gamma).alias("gamma"),
+            F.lit(lv.describe()).alias("label_for_charts"),
+            F.lit(lb).alias("log2_bf"),
+            F.log2(mult).alias("log2_bf_tf"),
+        ))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df = df.withColumn("log2_bf_final",
+                       F.col("log2_bf") + F.col("log2_bf_tf"))
+    w_most = Window.partitionBy("gamma").orderBy(
+        F.desc("tf_count"), "value")
+    w_least = Window.partitionBy("gamma").orderBy(
+        F.asc("tf_count"), "value")
+    df = df.select("*",
+                   (F.row_number().over(w_most) - 1).alias("most_freq_rank"),
+                   (F.row_number().over(w_least) - 1).alias("least_freq_rank"))
+    keep = F.lit(False)
+    if n_most_freq:
+        keep = keep | (F.col("most_freq_rank") < n_most_freq)
+    if n_least_freq:
+        keep = keep | (F.col("least_freq_rank") < n_least_freq)
+    if vals_to_include:
+        keep = keep | F.col("value").isin(list(vals_to_include))
+    if not n_most_freq and not n_least_freq and not vals_to_include:
+        keep = F.lit(True)
+    return [r.asDict() for r in
+            df.where(keep).orderBy("gamma", "most_freq_rank").collect()]
+
+
+def tf_adjustment_chart_spec(
+    tf_table: DataFrame,
+    comp: Comparison,
+    n_records: float | dict,
+    tf_style: str = "fork_count",
+    n_most_freq: int = 10,
+    n_least_freq: int = 10,
+    vals_to_include: list[str] | None = None,
+) -> dict:
+    """Bar chart of per-value TF-adjusted match weights with a rule at the
+    level's base weight (reference tf_adjustment_chart rendering)."""
+    records = tf_adjustment_chart_data(
+        tf_table, comp, n_records, tf_style,
+        n_most_freq, n_least_freq, vals_to_include)
+    spec = _vegalite(
+        f"Term frequency adjustments on {comp.name}",
+        records,
+        {"type": "bar"},
+        {
+            "x": {"field": "value", "type": "nominal",
+                  "sort": {"field": "most_freq_rank"}},
+            "y": {"field": "log2_bf_final", "type": "quantitative",
+                  "title": "Match weight (log2 Bayes factor)"},
+            "color": {"field": "log2_bf_tf", "type": "quantitative",
+                      "scale": {"scheme": "redyellowgreen", "domainMid": 0},
+                      "legend": None},
+            "row": {"field": "label_for_charts", "type": "nominal",
+                    "title": None},
+            "tooltip": [
+                {"field": "value"}, {"field": "tf_count"},
+                {"field": "log2_bf"}, {"field": "log2_bf_tf"},
+                {"field": "log2_bf_final"},
+            ],
+        },
+        resolve={"scale": {"x": "independent"}},
+    )
+    # dashed rule at the level's un-adjusted weight, layered per facet
+    spec["layer"] = [
+        {"mark": spec.pop("mark"), "encoding": spec.pop("encoding")},
+        {"mark": {"type": "rule", "strokeDash": [4, 4]},
+         "encoding": {"y": {"field": "log2_bf", "type": "quantitative",
+                            "aggregate": "mean"}}},
+    ]
+    return spec
+
+
+def _truth_space_records(truth_space: DataFrame | list[dict]
+                         ) -> list[dict[str, Any]]:
+    if isinstance(truth_space, DataFrame):
+        rows = [r.asDict() for r in
+                truth_space.orderBy("truth_threshold").collect()]
+    else:
+        rows = [dict(r) for r in truth_space]
+    for r in rows:
+        pos = (r["tp"] or 0) + (r["fn"] or 0)
+        neg = (r["fp"] or 0) + (r["tn"] or 0)
+        r["tp_rate"] = (r["tp"] / pos) if pos else 0.0
+        r["fp_rate"] = (r["fp"] / neg) if neg else 0.0
+    return rows
+
+
+def roc_chart_spec(truth_space: DataFrame | list[dict]) -> dict:
+    """ROC curve over the truth-space table (reference roc_chart,
+    charts.py:202 / chart def roc.json): FP rate vs TP rate, one point per
+    truth threshold. Input is the oracle-checked truth_space_table output
+    (one row per distinct threshold — already driver-sized)."""
+    return _vegalite(
+        "Receiver operating characteristic curve",
+        _truth_space_records(truth_space),
+        {"type": "line", "clip": True, "point": True},
+        {
+            "x": {"field": "fp_rate", "type": "quantitative",
+                  "title": "False positive rate", "sort": None},
+            "y": {"field": "tp_rate", "type": "quantitative",
+                  "title": "True positive rate (recall)"},
+            "tooltip": [
+                {"field": "truth_threshold", "type": "quantitative",
+                 "format": ".4f"},
+                {"field": "fp_rate", "type": "quantitative", "format": ".4f",
+                 "title": "FP_rate"},
+                {"field": "tp_rate", "type": "quantitative", "format": ".4f",
+                 "title": "TP_rate"},
+                {"field": "tp", "type": "quantitative", "format": ",.0f"},
+                {"field": "fp", "type": "quantitative", "format": ",.0f"},
+                {"field": "fn", "type": "quantitative", "format": ",.0f"},
+                {"field": "tn", "type": "quantitative", "format": ",.0f"},
+            ],
+        },
+        width=500, height=500,
+    )
+
+
+def precision_recall_chart_spec(truth_space: DataFrame | list[dict]) -> dict:
+    """Precision-recall curve over the truth-space table (reference
+    precision_recall_chart, charts.py:220)."""
+    return _vegalite(
+        "Precision-recall curve",
+        _truth_space_records(truth_space),
+        {"type": "line", "clip": True, "point": True},
+        {
+            "x": {"field": "recall", "type": "quantitative",
+                  "title": "Recall", "sort": None},
+            "y": {"field": "precision", "type": "quantitative",
+                  "title": "Precision"},
+            "tooltip": [
+                {"field": "truth_threshold", "type": "quantitative",
+                 "format": ".4f"},
+                {"field": "precision", "type": "quantitative",
+                 "format": ".4f"},
+                {"field": "recall", "type": "quantitative", "format": ".4f"},
+            ],
+        },
+        width=500, height=500,
+    )
+
+
 def cluster_studio_data(membership: DataFrame, edges: DataFrame,
                         sample_clusters: int = 10,
                         edge_l: str = "unique_id_l",

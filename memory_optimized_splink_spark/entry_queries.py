@@ -249,6 +249,33 @@ def q_predict(spark, sf_dir):
     return _spark_predict(spark, sf_dir)
 
 
+@q("match_weight_histogram",
+   f"""WITH {PREDICT_CTE},
+mm AS (SELECT min(match_weight) AS mn, max(match_weight) AS mx
+       FROM predictions),
+bw AS (
+  SELECT w
+  FROM (SELECT unnest([0.01, 0.1, 0.2, 0.25, 0.5, 1.0, 2.0, 5.0]) AS w) ws,
+       mm
+  ORDER BY abs(w - (mm.mx - mm.mn) / 30.0), w LIMIT 1
+)
+SELECT bw.w * floor(p.match_weight / bw.w) AS splink_score_bin_low,
+       bw.w AS binwidth,
+       COUNT(*) AS count_rows,
+       bw.w * floor(p.match_weight / bw.w) + bw.w AS splink_score_bin_high
+FROM predictions p, bw
+GROUP BY 1, 2""")
+def q_match_weight_histogram(spark, sf_dir):
+    """Match-weight histogram over predict() (reference
+    visualisations.py:112 / match_weights_histogram.py:66-96): ladder-chosen
+    bin width, one distributed groupBy on floor(mw/width). The oracle
+    replays the exact ladder selection (first-minimum = smallest width on
+    ties) and binning arithmetic in SQL."""
+    from .charts import match_weights_histogram_data
+    return match_weights_histogram_data(_spark_predict(spark, sf_dir),
+                                        target_bins=30)
+
+
 @q("comparator_scores",
    f"""WITH {RF_CTE},
 pr AS (

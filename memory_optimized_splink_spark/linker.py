@@ -58,6 +58,9 @@ class SparkLinker:
         self._tf_tables: dict[str, DataFrame] = {}
         self._input_fp: dict | None = None
         self._n_records_cache: dict | None = None
+        # (description, Settings snapshot) per estimation session, for
+        # parameter_estimate_comparisons_chart (reference settings.py:581)
+        self._parameter_estimates: list[tuple[str, object]] = []
 
     # ------------------------------------------------------------- stages
     def _input_identity(self) -> dict | None:
@@ -202,6 +205,8 @@ class SparkLinker:
         self.settings = train_mod.estimate_u_using_random_sampling(
             self.nodes(), self.settings, max_pairs=max_pairs
         )
+        self._parameter_estimates.append(
+            ("u from random sampling", self.settings))
         return self
 
     def estimate_lambda(self, deterministic_rules: list, recall: float
@@ -221,6 +226,8 @@ class SparkLinker:
         (linker_components/training.py:353)."""
         self.settings = train_mod.estimate_m_from_label_column(
             self.nodes(), self.settings, label_column)
+        self._parameter_estimates.append(
+            (f"m from label column {label_column}", self.settings))
         return self
 
     def count_comparisons(self, rule) -> int:
@@ -237,6 +244,9 @@ class SparkLinker:
         )
         for h in history:
             self.metrics.log(stage="em", **h)
+        rule_desc = "-".join(getattr(training_rule, "keys", ())) or "rule"
+        self._parameter_estimates.append(
+            (f"m from EM blocked on {rule_desc}", self.settings))
         return history
 
     def _n_records(self) -> dict | None:
@@ -398,6 +408,57 @@ class SparkLinker:
         from .charts import waterfall_chart_spec
         return [waterfall_chart_spec(recs)
                 for recs in self.waterfall_chart_data(limit)]
+
+    def match_weights_histogram(self, target_bins: int = 30) -> dict:
+        """Histogram of predict() match weights (reference
+        visualisations.py:112)."""
+        from .charts import match_weights_histogram_spec
+        return match_weights_histogram_spec(self.predict(), target_bins)
+
+    def parameter_estimate_comparisons_chart(self, include_m: bool = True,
+                                             include_u: bool = False) -> dict:
+        """Parameter estimates across the estimation sessions run on this
+        linker (reference visualisations.py:146); each estimate_* call
+        records a (description, settings-snapshot) pair."""
+        from .charts import parameter_estimate_comparisons_chart_spec
+        return parameter_estimate_comparisons_chart_spec(
+            self._parameter_estimates, include_m, include_u)
+
+    def tf_adjustment_chart(self, column: str, n_most_freq: int = 10,
+                            n_least_freq: int = 10,
+                            vals_to_include: list[str] | None = None) -> dict:
+        """Per-value TF-adjustment impact for a TF-adjusted comparison
+        (reference visualisations.py:193 / term_frequencies.py:291)."""
+        from .charts import tf_adjustment_chart_spec
+
+        comp = next(
+            (c for c in self.settings.comparisons
+             if c.name == column and any(
+                 lv.tf_adjustment for lv in c.levels)), None)
+        if comp is None:
+            raise ValueError(
+                f"{column} is not a comparison column with term frequency "
+                "adjustment activated")
+        tf_col = next((lv.column or comp.column) for lv in comp.levels
+                      if lv.tf_adjustment)
+        tf_tables = self._ensure_tf_tables()
+        if tf_col not in tf_tables:
+            from .operators.nodes import compute_tf_table
+            tf_tables[tf_col] = compute_tf_table(self.nodes(), tf_col)
+        return tf_adjustment_chart_spec(
+            tf_tables[tf_col], comp, self._n_records(),
+            tf_style=self.settings.tf_style, n_most_freq=n_most_freq,
+            n_least_freq=n_least_freq, vals_to_include=vals_to_include)
+
+    def roc_chart(self, labels: DataFrame) -> dict:
+        """ROC curve from pairwise labels via the truth-space table
+        (reference accuracy_analysis_from_labels_table chart output)."""
+        from .charts import roc_chart_spec
+        return roc_chart_spec(self.truth_space(labels))
+
+    def precision_recall_chart(self, labels: DataFrame) -> dict:
+        from .charts import precision_recall_chart_spec
+        return precision_recall_chart_spec(self.truth_space(labels))
 
     def comparison_viewer_data(self, example_rows_per_pattern: int = 2
                                ) -> DataFrame:

@@ -347,3 +347,239 @@ def test_generate_labelling_tool_comparisons(spark):
     got2 = generate_labelling_tool_comparisons(
         lk, {"name": "ann", "city": "ely"}, match_weight_threshold=0.0)
     assert all(r["match_weight"] >= 0 for r in got2.collect())
+
+
+def test_match_weights_histogram_golden(spark):
+    """Bin width from the reference ladder (nearest (max-min)/target_bins,
+    first minimum on ties), bins = w*floor(mw/w), counts per bin."""
+    from memory_optimized_splink_spark.charts import (
+        _histogram_bin_width,
+        match_weights_histogram_data,
+        match_weights_histogram_spec,
+    )
+
+    # range 10 over 30 bins -> rough 0.333 -> nearest ladder width 0.25
+    assert _histogram_bin_width(-5.0, 5.0, 30) == 0.25
+    assert _histogram_bin_width(0.0, 300.0, 30) == 5
+    assert _histogram_bin_width(0.0, 0.3, 30) == 0.01
+    # tie: rough 0.15 is equidistant from 0.1 and 0.2 -> first (0.1) wins
+    assert _histogram_bin_width(0.0, 4.5, 30) == 0.1
+
+    pred = spark.createDataFrame(
+        [(float(v),) for v in [-5, -4.9, -4.9, 0.1, 4.74, 4.9]],
+        "match_weight double")
+    rows = {r["splink_score_bin_low"]: r for r in
+            match_weights_histogram_data(pred, target_bins=30).collect()}
+    assert all(r["binwidth"] == 0.25 for r in rows.values())
+    assert rows[-5.0]["count_rows"] == 3            # -5, -4.9, -4.9
+    assert rows[0.0]["count_rows"] == 1             # 0.1
+    assert rows[4.5]["count_rows"] == 1             # 4.74
+    assert rows[4.75]["count_rows"] == 1            # 4.9
+    assert rows[4.5]["splink_score_bin_high"] == 4.75
+
+    spec = match_weights_histogram_spec(pred)
+    assert spec["mark"] == "bar"
+    assert spec["encoding"]["x"]["bin"] == "binned"
+    assert len(spec["data"]["values"]) == len(rows)
+
+    # empty predictions -> empty histogram, schema intact
+    empty = pred.where("match_weight > 99")
+    assert match_weights_histogram_data(empty).count() == 0
+
+
+def test_parameter_estimate_comparisons(settings):
+    from dataclasses import replace
+
+    from memory_optimized_splink_spark.charts import (
+        parameter_estimate_comparisons_chart_spec,
+        parameter_estimate_comparisons_data,
+    )
+
+    s2 = replace(settings, comparisons=tuple(
+        replace(c, levels=tuple(
+            replace(lv, m=(lv.m or 0) * 0.5 if lv.m else lv.m)
+            for lv in c.levels))
+        for c in settings.comparisons))
+    ests = [("EM blocked on a", settings), ("labels", s2)]
+    recs = parameter_estimate_comparisons_data(ests)
+    # m only by default: one record per (session, graded level with m)
+    assert all(r["m_or_u"] == "m" for r in recs)
+    assert {r["estimate_description"] for r in recs} == \
+        {"EM blocked on a", "labels"}
+    a_exact = [r for r in recs if r["comparison_name"] == "a"
+               and r["comparison_vector_value"] == 1]
+    assert {round(r["estimated_probability"], 6) for r in a_exact} == \
+        {M_A, M_A * 0.5}
+    for r in a_exact:
+        p = r["estimated_probability"]
+        assert r["estimated_probability_as_log_odds"] == \
+            pytest.approx(math.log2(p / (1 - p)))
+    both = parameter_estimate_comparisons_data(ests, include_u=True)
+    assert {r["m_or_u"] for r in both} == {"m", "u"}
+    spec = parameter_estimate_comparisons_chart_spec(ests)
+    assert spec["data"]["values"] == recs
+    assert spec["encoding"]["color"]["field"] == "estimate_description"
+
+
+def test_tf_adjustment_chart_matches_predict(spark):
+    """2**log2_bf_tf from the chart data must equal the bf_tf_adj column
+    predict(keep_bf_columns=True) computes for a pair matching on that
+    value — same model shape as the oracle-green predict_tf query
+    (exact level with tf_adjustment on a low-cardinality column)."""
+    from memory_optimized_splink_spark.charts import (
+        tf_adjustment_chart_data,
+        tf_adjustment_chart_spec,
+    )
+    from memory_optimized_splink_spark.model import (
+        Comparison, ComparisonLevel, Settings, block_on,
+    )
+    from memory_optimized_splink_spark.operators.blocking import (
+        block_using_rules,
+    )
+    from memory_optimized_splink_spark.operators.nodes import (
+        compute_tf_table, join_tf_columns,
+    )
+    from memory_optimized_splink_spark.operators.score import (
+        predict as predict_op,
+    )
+    from memory_optimized_splink_spark.operators.vectors import (
+        compute_comparison_vectors,
+    )
+    from pyspark.sql import functions as F
+
+    s = Settings(
+        comparisons=(
+            Comparison("city", "city", (
+                ComparisonLevel("null"),
+                ComparisonLevel("exact", m=0.6, u=0.1, tf_adjustment=True),
+                ComparisonLevel("else", m=0.4, u=0.9),
+            )),
+        ),
+        blocking_rules=(block_on("grp"),),
+        probability_two_random_records_match=0.1,
+        tf_columns=("city",),
+    )
+    rows = [(str(i), "g", ["ely", "ely", "ely", "rye", "rye", "ack"][i % 6])
+            for i in range(12)]
+    nodes = spark.createDataFrame(
+        rows, "unique_id string, grp string, city string")
+    tf = compute_tf_table(nodes, "city")
+    n = float(nodes.count())
+
+    recs = tf_adjustment_chart_data(tf, s.comparisons[0], n)
+    assert {r["value"] for r in recs} == {"ely", "rye", "ack"}
+    by_val = {r["value"]: r for r in recs}
+    # fork_count exact multiplier = N / tf_count (ely 6x, rye 4x, ack 2x)
+    assert 2 ** by_val["ely"]["log2_bf_tf"] == pytest.approx(12 / 6)
+    assert 2 ** by_val["rye"]["log2_bf_tf"] == pytest.approx(12 / 4)
+    assert 2 ** by_val["ack"]["log2_bf_tf"] == pytest.approx(12 / 2)
+    assert by_val["ely"]["most_freq_rank"] == 0
+    assert by_val["ely"]["log2_bf"] == pytest.approx(math.log2(0.6 / 0.1))
+    assert by_val["ely"]["log2_bf_final"] == pytest.approx(
+        math.log2(0.6 / 0.1) + math.log2(2.0))
+
+    # parity with the actual predict pipeline, bit-for-bit
+    nodes_tf, _ = join_tf_columns(nodes, s)
+    pairs = block_using_rules(nodes_tf, s)
+    cv = compute_comparison_vectors(pairs, nodes_tf, s)
+    pred = predict_op(cv, s, n_records=n, keep_bf_columns=True)
+    matched = pred.where("gamma_city = 1").join(
+        nodes.select(F.col("unique_id").alias("unique_id_l"),
+                     F.col("city").alias("value")), on="unique_id_l")
+    for row in matched.select("value", "bf_tf_adj_city").distinct().collect():
+        assert 2 ** by_val[row["value"]]["log2_bf_tf"] == \
+            row["bf_tf_adj_city"], row
+
+    spec = tf_adjustment_chart_spec(tf, s.comparisons[0], n)
+    assert spec["layer"][1]["mark"]["type"] == "rule"
+    assert len(spec["data"]["values"]) == 3
+
+    # raises on a comparison without TF adjustment
+    plain = Comparison("x", "x", (ComparisonLevel("exact", m=0.5, u=0.1),
+                                  ComparisonLevel("else", m=0.5, u=0.9)))
+    with pytest.raises(ValueError):
+        tf_adjustment_chart_data(tf, plain, n)
+
+
+def test_roc_and_precision_recall_specs():
+    from memory_optimized_splink_spark.charts import (
+        precision_recall_chart_spec,
+        roc_chart_spec,
+    )
+
+    ts = [
+        {"truth_threshold": -2.0, "tp": 10, "fp": 5, "fn": 0, "tn": 0,
+         "precision": 10 / 15, "recall": 1.0},
+        {"truth_threshold": 0.0, "tp": 8, "fp": 2, "fn": 2, "tn": 3,
+         "precision": 0.8, "recall": 0.8},
+        {"truth_threshold": 3.0, "tp": 4, "fp": 0, "fn": 6, "tn": 5,
+         "precision": 1.0, "recall": 0.4},
+    ]
+    spec = roc_chart_spec(ts)
+    vals = {v["truth_threshold"]: v for v in spec["data"]["values"]}
+    assert vals[0.0]["tp_rate"] == pytest.approx(0.8)
+    assert vals[0.0]["fp_rate"] == pytest.approx(2 / 5)
+    assert vals[3.0]["fp_rate"] == 0.0
+    assert vals[-2.0]["fp_rate"] == 1.0        # fp=5, tn=0
+    assert spec["mark"]["type"] == "line"
+
+    pr = precision_recall_chart_spec(ts)
+    assert pr["encoding"]["x"]["field"] == "recall"
+    assert pr["encoding"]["y"]["field"] == "precision"
+    assert len(pr["data"]["values"]) == 3
+
+
+def test_linker_chart_tail_methods(spark):
+    """Linker-level glue for the round-5 chart tail: histogram spec over
+    its own predict(), session-recorded parameter estimates, TF chart for
+    a TF-adjusted column (refusal for others), ROC/PR from labels."""
+    from memory_optimized_splink_spark.linker import SparkLinker
+    from memory_optimized_splink_spark.model import (
+        Comparison, ComparisonLevel, Settings, block_on,
+    )
+
+    s = Settings(
+        comparisons=(
+            Comparison("city", "city", (
+                ComparisonLevel("null"),
+                ComparisonLevel("exact", m=0.6, u=0.1, tf_adjustment=True),
+                ComparisonLevel("else", m=0.4, u=0.9),
+            )),
+            Comparison("name", "name", (
+                ComparisonLevel("null"),
+                ComparisonLevel("exact", m=0.8, u=0.05),
+                ComparisonLevel("else", m=0.2, u=0.95),
+            )),
+        ),
+        blocking_rules=(block_on("grp"),),
+        probability_two_random_records_match=0.1,
+        tf_columns=("city",),
+    )
+    rows = [(str(i), "g", ["ely", "ely", "rye"][i % 3],
+             ["ann", "bob"][i % 2]) for i in range(8)]
+    nodes = spark.createDataFrame(
+        rows, "unique_id string, grp string, city string, name string")
+    lk = SparkLinker(spark, nodes, s, enable_checkpoints=False)
+
+    hist = lk.match_weights_histogram()
+    assert hist["data"]["values"] and \
+        hist["encoding"]["x"]["field"] == "splink_score_bin_low"
+
+    tfc = lk.tf_adjustment_chart("city")
+    assert {v["value"] for v in tfc["data"]["values"]} == {"ely", "rye"}
+    with pytest.raises(ValueError):
+        lk.tf_adjustment_chart("name")
+
+    lk.estimate_u(max_pairs=1e4)
+    pe = lk.parameter_estimate_comparisons_chart(include_u=True)
+    descs = {v["estimate_description"] for v in pe["data"]["values"]}
+    assert descs == {"u from random sampling"}
+
+    labels = spark.createDataFrame(
+        [("1", "3", 1.0), ("1", "2", 0.0)],
+        "unique_id_l string, unique_id_r string, clerical_match_score double")
+    roc = lk.roc_chart(labels)
+    assert all("tp_rate" in v and "fp_rate" in v
+               for v in roc["data"]["values"])
+    pr = lk.precision_recall_chart(labels)
+    assert pr["encoding"]["y"]["field"] == "precision"
