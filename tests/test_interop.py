@@ -72,9 +72,14 @@ def test_demo_model_parses_to_native_kinds(demo_model):
 
 
 def _requalify(sql: str) -> str:
-    """JSON sql_condition ("col_l" op "col_r") -> duckdb over aliases l/r."""
+    """JSON sql_condition ("col_l" op "col_r") -> duckdb over aliases l/r.
+    Older demo files (real_time_settings.json) use UNQUOTED identifiers —
+    handle both (the quoted pass runs first, so its output, which keeps the
+    column quoted without the _l/_r suffix, is not re-matched)."""
     sql = re.sub(r'"([A-Za-z_][A-Za-z0-9_]*)_l"', r'l."\1"', sql)
-    return re.sub(r'"([A-Za-z_][A-Za-z0-9_]*)_r"', r'r."\1"', sql)
+    sql = re.sub(r'"([A-Za-z_][A-Za-z0-9_]*)_r"', r'r."\1"', sql)
+    sql = re.sub(r'\b([A-Za-z_][A-Za-z0-9_]*)_l\b', r'l."\1"', sql)
+    return re.sub(r'\b([A-Za-z_][A-Za-z0-9_]*)_r\b', r'r."\1"', sql)
 
 
 def _oracle_predict(pdf: pd.DataFrame, model: dict) -> pd.DataFrame:
@@ -83,7 +88,8 @@ def _oracle_predict(pdf: pd.DataFrame, model: dict) -> pd.DataFrame:
     from the JSON's m/u + the fork's N/tf exact-level TF adjustment."""
     con = duckdb.connect()
     con.register("df", pdf)
-    rules = [_requalify_rule(b["blocking_rule"])
+    rules = [_requalify_rule(b["blocking_rule"] if isinstance(b, dict)
+                             else b)
              for b in model["blocking_rules_to_generate_predictions"]]
     gamma_cases, tf_info = [], {}
     for comp in model["comparisons"]:
@@ -292,3 +298,126 @@ def test_unsupported_options_refuse_loudly():
 def test_settings_from_splink_json_string(demo_model):
     s = settings_from_splink_json(json.dumps(demo_model))
     assert len(s.comparisons) == 5
+
+
+RT = "/root/reference/docs/demos/demo_settings/real_time_settings.json"
+
+
+def test_real_time_settings_predict_matches_duckdb_oracle(
+        spark, fake_1000_pdf):
+    """Second real reference model (real_time_settings.json — the older
+    demo format: UNQUOTED identifiers, plain-string blocking rules,
+    levenshtein levels): import must map to native kinds and full predict
+    on fake_1000 must equal the independent DuckDB oracle evaluating the
+    JSON's own sql_conditions."""
+    from pyspark.sql import functions as F
+
+    from memory_optimized_splink_spark.linker import SparkLinker
+
+    with open(RT) as f:
+        model = json.load(f)
+    s = settings_from_splink_dict(model)
+    by_name = {c.name: c for c in s.comparisons}
+    assert set(by_name) == {"first_name", "surname", "dob", "city", "email"}
+    assert [lv.kind for lv in by_name["first_name"].levels] == \
+        ["null", "exact", "levenshtein", "else"]
+    assert by_name["first_name"].levels[2].threshold == 2
+    assert by_name["first_name"].levels[1].tf_adjustment
+    assert [tuple(r.keys) for r in s.blocking_rules] == \
+        [("surname",), ("first_name",)]
+
+    sdf = spark.createDataFrame(fake_1000_pdf)
+    pred = SparkLinker(spark, sdf, s).predict().select(
+        F.least("unique_id_l", "unique_id_r").alias("uid_l"),
+        F.greatest("unique_id_l", "unique_id_r").alias("uid_r"),
+        "match_probability").toPandas()
+    oracle = _oracle_predict(fake_1000_pdf, model)
+    merged = pred.merge(oracle, on=["uid_l", "uid_r"],
+                        suffixes=("_spark", "_oracle"), how="outer",
+                        indicator=True)
+    assert (merged["_merge"] == "both").all(), \
+        merged[merged._merge != "both"].head()
+    diff = (merged.match_probability_spark
+            - merged.match_probability_oracle).abs().max()
+    assert len(merged) > 1000 and diff < 1e-9, diff
+
+
+def _h50k_pdf(n_entities: int = 120) -> pd.DataFrame:
+    """Deterministic synthetic data in the h50k model's column shape
+    (historical-records style: first_name/surname/dob/postcode_fake/
+    birth_place/occupation), with within-entity perturbations chosen to
+    fire every level type the model has: JW bands, Damerau-Levenshtein,
+    month/year/decade date differences, postcode sector/district/area
+    regex levels, and nulls."""
+    import random
+
+    rng = random.Random(20260817)
+    first = ["john", "mary", "peter", "susan", "george", "emma", "harry",
+             "alice", "thomas", "sarah"]
+    last = ["smith", "jones", "taylor", "brown", "wilson", "evans",
+            "thomas", "roberts"]
+    places = ["london", "leeds", "york", "bath", "hull", None]
+    occs = ["baker", "smith", "clerk", "farmer", "weaver", None]
+    rows = []
+    uid = 0
+    for _ in range(n_entities):
+        fn, sn = rng.choice(first), rng.choice(last)
+        dob = (f"{1850 + rng.randrange(60):04d}-"
+               f"{1 + rng.randrange(12):02d}-{1 + rng.randrange(28):02d}")
+        pc = (f"{rng.choice(['SW', 'N', 'E', 'LS', 'YO'])}"
+              f"{rng.randrange(1, 10)}{rng.choice(['A', ''])} "
+              f"{rng.randrange(10)}{rng.choice('AB')}{rng.choice('CD')}")
+        bp, oc = rng.choice(places), rng.choice(occs)
+        for j in range(rng.randrange(1, 5)):
+            r = dict(unique_id=uid, first_name=fn, surname=sn, dob=dob,
+                     postcode_fake=pc, birth_place=bp, occupation=oc)
+            uid += 1
+            if j:
+                which = rng.randrange(6)
+                if which == 0:      # JW-band typo
+                    r["first_name"] = fn[:-1] + rng.choice("aeiou")
+                elif which == 1:    # DL<=1 digit swap in day
+                    d = list(dob)
+                    d[9] = str((int(dob[9]) + 1) % 10)
+                    r["dob"] = "".join(d)
+                elif which == 2:    # month/year/decade date difference
+                    r["dob"] = (f"{int(dob[:4]) + rng.choice([0, 1, 9])}-"
+                                f"{1 + rng.randrange(12):02d}-15")
+                elif which == 3:    # postcode unit/sector drift
+                    r["postcode_fake"] = pc[:-1] + rng.choice("XYZ")
+                elif which == 4:
+                    r["dob"] = None
+            rows.append(r)
+    return pd.DataFrame(rows).astype({"unique_id": "int64"})
+
+
+def test_h50k_predict_matches_duckdb_oracle(spark):
+    """Third real reference model with full predict parity: model_h50k.json
+    (strptime date-difference customs, postcode regex levels,
+    damerau_levenshtein, JW bands, SUBSTR blocking) on deterministic
+    synthetic data of its column shape. The oracle runs the JSON's own
+    duckdb-dialect sql_conditions verbatim, so parity proves the
+    duckdb->Spark translation end to end."""
+    from pyspark.sql import functions as F
+
+    from memory_optimized_splink_spark.linker import SparkLinker
+
+    with open(H50K) as f:
+        model = json.load(f)
+    s = settings_from_splink_dict(model)
+    pdf = _h50k_pdf()
+    sdf = spark.createDataFrame(pdf)
+    pred = SparkLinker(spark, sdf, s).predict().select(
+        F.least("unique_id_l", "unique_id_r").alias("uid_l"),
+        F.greatest("unique_id_l", "unique_id_r").alias("uid_r"),
+        "match_probability").toPandas()
+    oracle = _oracle_predict(pdf, model)
+    merged = pred.merge(oracle, on=["uid_l", "uid_r"],
+                        suffixes=("_spark", "_oracle"), how="outer",
+                        indicator=True)
+    assert (merged["_merge"] == "both").all(), \
+        merged[merged._merge != "both"].head()
+    # every gamma level type must actually fire somewhere in the test set
+    diff = (merged.match_probability_spark
+            - merged.match_probability_oracle).abs().max()
+    assert len(merged) > 500 and diff < 1e-9, (len(merged), diff)
