@@ -43,7 +43,18 @@ class CheckpointRegistry:
         return os.path.join(self.base_dir, stage, config_hash(config))
 
     def has(self, stage: str, config: dict) -> bool:
-        return os.path.exists(os.path.join(self.path_for(stage, config), "_SUCCESS"))
+        """A stage is complete iff its _SUCCESS marker exists — checked
+        through the Hadoop FileSystem API so base_dir may be an HDFS/S3A/
+        file:/ URI (the stages themselves are Spark-written parquet, which
+        already lands there; a driver-local os.path check would never see
+        them)."""
+        marker = os.path.join(self.path_for(stage, config), "_SUCCESS")
+        try:
+            jpath = self.spark._jvm.org.apache.hadoop.fs.Path(marker)
+            fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            return bool(fs.exists(jpath))
+        except Exception:
+            return os.path.exists(marker)
 
     def stage(self, stage: str, config: dict,
               fn: Callable[[], DataFrame],
