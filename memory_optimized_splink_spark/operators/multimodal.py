@@ -177,6 +177,56 @@ def media_decoder(content: bytes) -> np.ndarray:
     return real_decode_stub(content)
 
 
+def pil_image_decoder(mode: str = "RGB"
+                      ) -> Callable[[bytes], np.ndarray]:
+    """One-line exit from the compressed-format stub for users WITH
+    pillow installed: extract_features(media, decoder=pil_image_decoder()).
+    Decodes JPEG/PNG/anything PIL reads to an HxWxC uint8 array. Fails
+    fast driver-side with a clear ImportError when pillow is absent; the
+    returned closure re-imports lazily so workers only need pillow on
+    their own PYTHONPATH (contract-tested in
+    tests/test_text_ann_multimodal.py)."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "pillow is required for pil_image_decoder(); pip install "
+            "pillow, or use media_decoder (pure-numpy BMP/WAV) instead"
+        ) from e
+
+    def decode(content: bytes) -> np.ndarray:
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(content)).convert(mode))
+
+    return decode
+
+
+def torchaudio_decoder() -> Callable[[bytes], np.ndarray]:
+    """Same contract for compressed audio via torchaudio: returns
+    (channels x samples) float32. extract_features(media,
+    decoder=torchaudio_decoder())."""
+    try:
+        import torchaudio  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "torchaudio is required for torchaudio_decoder(); pip install "
+            "torchaudio, or use media_decoder (pure-numpy PCM WAV) instead"
+        ) from e
+
+    def decode(content: bytes) -> np.ndarray:
+        import io
+
+        import torchaudio
+
+        wave, _rate = torchaudio.load(io.BytesIO(content))
+        return wave.numpy().astype(np.float32)
+
+    return decode
+
+
 def fake_decode(content: bytes) -> np.ndarray:
     """Deterministic fake decode: bytes -> pseudo feature vector. Keeps the
     whole Spark path executable without media libs."""

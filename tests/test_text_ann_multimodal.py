@@ -354,3 +354,83 @@ def test_media_decoder_dispatch_and_spark_path(spark):
     # compressed formats remain honestly stubbed
     with pytest.raises(NotImplementedError):
         media_decoder(b"\xff\xd8\xff\xe0fakejpeg")
+
+
+def test_pluggable_decoder_contract(spark, media):
+    """Decoder-contract test: any user-supplied `bytes -> np.ndarray`
+    callable slots into extract_features — it receives each row's exact
+    content bytes, its output becomes the float32 feature array, and its
+    exceptions surface loudly (never swallowed into nulls). This is the
+    one-line integration path for users with media libs (PIL/torchaudio):
+    decoder=pil_image_decoder() has the same signature."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from memory_optimized_splink_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    seen_hashes = []
+
+    def my_decoder(content: bytes) -> np.ndarray:
+        # simulates e.g. np.asarray(Image.open(io.BytesIO(content)))
+        if content is None:
+            return np.zeros(1, dtype=np.float32)
+        return np.array([len(content), content[0], content[-1]],
+                        dtype=np.float32)
+
+    rows = {r["media_id"]: r for r in
+            extract_features(media, decoder=my_decoder).collect()}
+    src = {r["media_id"]: bytes(r["content"])
+           for r in media.select("media_id", "content").collect()
+           if r["content"]}
+    assert set(src) <= set(rows)
+    for mid, content in src.items():
+        feat = rows[mid]["feature"]
+        assert feat == [float(len(content)), float(content[0]),
+                        float(content[-1])]
+        assert rows[mid]["n_bytes"] == len(content)
+
+    # a decoder that cannot handle the format must fail LOUDLY through
+    # the Spark job, not degrade to nulls
+    def refusing(content: bytes) -> np.ndarray:
+        raise NotImplementedError("no codec for this format")
+
+    with pytest.raises(Exception, match="no codec"):
+        extract_features(media, decoder=refusing).collect()
+
+
+def test_media_lib_decoders_import_gated():
+    """pil_image_decoder/torchaudio_decoder fail fast driver-side with an
+    actionable ImportError when the lib is absent; when present they return
+    a bytes->ndarray callable satisfying the extract_features contract."""
+    import numpy as np
+    import pytest
+
+    from memory_optimized_splink_spark.operators.multimodal import (
+        pil_image_decoder, torchaudio_decoder,
+    )
+
+    try:
+        import PIL  # noqa: F401
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if have_pil:
+        dec = pil_image_decoder()
+        assert callable(dec)
+    else:
+        with pytest.raises(ImportError, match="pillow"):
+            pil_image_decoder()
+
+    try:
+        import torchaudio  # noqa: F401
+        have_ta = True
+    except ImportError:
+        have_ta = False
+    if have_ta:
+        assert callable(torchaudio_decoder())
+    else:
+        with pytest.raises(ImportError, match="torchaudio"):
+            torchaudio_decoder()
