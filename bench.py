@@ -86,6 +86,78 @@ def _warmup(spark: SparkSession) -> None:
         F.sum(jaro_winkler_udf(F.lit("warm"), F.lit("worm")))).collect()
 
 
+def _partition_skew(pairs: DataFrame) -> dict:
+    """Peak-partition skew of the blocking output (scale evidence: a hot
+    blocking key shows up as max >> mean partition rows). groupBy only
+    yields rows for NON-empty partitions, so fill zeros up to the RDD's
+    partition count — an all-empty tail is itself skew evidence. Runs as
+    one streaming pass over `pairs`; nothing is materialized, so it also
+    serves the ~1B-pair mode where storing the pair table is off-limits."""
+    counts = {r["pid"]: r["c"] for r in pairs.groupBy(
+        F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("c")).collect()}
+    n_part = max(pairs.rdd.getNumPartitions(),
+                 max(counts, default=-1) + 1)
+    psizes = [counts.get(i, 0) for i in range(n_part)]
+    total = sum(psizes)
+    return {
+        "n": n_part,
+        "max_rows": max(psizes, default=0),
+        "mean_rows": round(total / n_part, 1) if n_part else 0.0,
+        "skew_ratio": (round(max(psizes) * n_part / total, 2)
+                       if total else None),
+        "n_rows_total": total,
+    }
+
+
+def cc_scale(spark: SparkSession, sf_dir: str, variants: int = 560) -> dict:
+    """Third scale point (README 100-TB trend line): blocking -> CC at
+    ~0.5-1B candidate pairs, SCORING SKIPPED — at this scale a single
+    scoring pass is hours on one box and adds nothing to what this run
+    measures (CC round growth + blocking skew at the next order of
+    magnitude). The pair table is never materialized: its count and
+    partition skew come from one streaming aggregate over the blocking
+    join. The CC edge set is the deterministic first blocking rule's pairs
+    (content_sha equality — the true-duplicate cliques the 0.9-threshold
+    predict keeps); CC compacts them to 8-byte ids before its own
+    checkpoint, so the only large materialization is 16 B/edge."""
+    from dataclasses import replace
+
+    s = EQ.entry_settings()
+    out: dict = {"variants": variants,
+                 "mode": "cc_scale: blocking skew + CC only, score skipped "
+                         "(edges = content_sha-equal pairs)"}
+
+    t0 = time.time()
+    par = spark.sparkContext.defaultParallelism * 4
+    nodes = build_bench_nodes(spark, sf_dir, variants).repartition(par)
+    nodes = nodes.localCheckpoint(eager=True)
+    out["n_rows"] = nodes.count()
+    out["t_build"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    pairs = block_using_rules(nodes, s) \
+        .select("match_key", "unique_id_l", "unique_id_r")
+    out["pair_partitions"] = _partition_skew(pairs)
+    out["n_pairs"] = out["pair_partitions"].pop("n_rows_total")
+    out["t_block_scan"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    s0 = replace(s, blocking_rules=(s.blocking_rules[0],))
+    edges = block_using_rules(nodes, s0) \
+        .select("unique_id_l", "unique_id_r")
+    out["n_edges"] = edges.count()
+    out["t_edge_count"] = round(time.time() - t0, 2)
+
+    cc_stats: dict = {}
+    t0 = time.time()
+    member = solve_connected_components(nodes, edges, stats=cc_stats)
+    out["n_clusters"] = member.select("cluster_id").distinct().count()
+    out["t_cluster"] = round(time.time() - t0, 2)
+    out["cc_rounds"] = cc_stats.get("rounds")
+    return out
+
+
 def run_pipeline(spark: SparkSession, sf_dir: str, variants: int = 40) -> dict:
     s = EQ.entry_settings()
     out: dict = {}
@@ -104,23 +176,7 @@ def run_pipeline(spark: SparkSession, sf_dir: str, variants: int = 40) -> dict:
     out["n_pairs"] = n_pairs
     out["t_block"] = time.time() - t0
 
-    # peak-partition skew of the blocking output (scale evidence: a hot
-    # blocking key shows up here as max >> mean partition rows). groupBy
-    # only yields rows for NON-empty partitions, so fill zeros up to the
-    # RDD's partition count — an all-empty tail is itself skew evidence.
-    counts = {r["pid"]: r["c"] for r in pairs.groupBy(
-        F.spark_partition_id().alias("pid"))
-        .agg(F.count(F.lit(1)).alias("c")).collect()}
-    n_part = pairs.rdd.getNumPartitions()
-    psizes = [counts.get(i, 0) for i in range(n_part)]
-    total = sum(psizes)
-    out["pair_partitions"] = {
-        "n": n_part,
-        "max_rows": max(psizes, default=0),
-        "mean_rows": round(total / n_part, 1) if n_part else 0.0,
-        "skew_ratio": (round(max(psizes) * n_part / total, 2)
-                       if total else None),
-    }
+    out["pair_partitions"] = _partition_skew(pairs)
 
     # two timed scoring runs; keep the steady-state (the sandbox VM is
     # noisy and the first run may still page in worker state). The timed
@@ -191,14 +247,7 @@ def scale_evidence(spark: SparkSession, sf_dir: str,
     out["n_pairs"] = n_pairs
     out["t_block"] = round(time.time() - t0, 2)
 
-    psizes = [r["c"] for r in pairs.groupBy(
-        F.spark_partition_id().alias("pid"))
-        .agg(F.count(F.lit(1)).alias("c")).collect()]
-    out["pair_partitions"] = {
-        "n": len(psizes), "max_rows": max(psizes),
-        "mean_rows": round(sum(psizes) / len(psizes), 1),
-        "skew_ratio": round(max(psizes) * len(psizes) / sum(psizes), 2),
-    }
+    out["pair_partitions"] = _partition_skew(pairs)
 
     t0 = time.time()
     cv = compute_comparison_vectors(pairs, nodes, s)
@@ -329,6 +378,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--skew", action="store_true")
+    ap.add_argument("--cc-scale", action="store_true",
+                    help="blocking-skew + CC-only run at ~0.5-1B candidate "
+                         "pairs (scoring skipped; default --variants 560)")
     ap.add_argument("--scale-evidence", action="store_true",
                     help="one-pass large-variants pipeline run "
                          "(per-stage times, cc rounds, partition skew)")
@@ -359,6 +411,17 @@ def main() -> None:
         print(json.dumps({"metric": "scale_evidence_pairs_scored_per_sec",
                           "value": r["pairs_scored_per_sec"],
                           "unit": "pairs/sec", "detail": r, "sf": sf}))
+        spark.stop()
+        return
+
+    if args.cc_scale:
+        spark = get_spark(app_name="bench-cc-scale", master=f"local[{cpus}]",
+                          shuffle_partitions=max(cpus * 4, 128))
+        r = cc_scale(spark, sf_dir,
+                     args.variants if args.variants != 40 else 560)
+        print(json.dumps({"metric": "cc_scale_rounds",
+                          "value": r["cc_rounds"],
+                          "unit": "rounds", "detail": r, "sf": sf}))
         spark.stop()
         return
 

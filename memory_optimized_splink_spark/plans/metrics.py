@@ -18,7 +18,19 @@ from pyspark.sql import DataFrame, functions as F
 
 
 class MetricsLog:
+    """The JSONL file is a DRIVER-LOCAL log (like Spark's own event log
+    default): a file:/ URI path is normalized to its local form, and a
+    non-local URI (hdfs:/s3a:) falls back to in-memory records only — a
+    cwd-relative open("hdfs:/...") would otherwise create a mangled local
+    directory literally named after the scheme."""
+
     def __init__(self, path: str | None, partition_detail: bool = True):
+        if path and ":" in path.split(os.sep, 1)[0]:
+            scheme = path.split(":", 1)[0]
+            if scheme == "file":
+                path = "/" + path.split(":", 1)[1].lstrip("/")
+            else:
+                path = None  # non-local URI: in-memory records only
         self.path = path
         self.partition_detail = partition_detail
         if path:

@@ -147,3 +147,21 @@ def test_checkpoint_registry_on_file_uri(spark, tmp_path):
     b = reg.stage("s1", cfg, build)      # second call: read-back, no build
     assert b.count() == 5 and calls == [1]
     assert not reg.has("s1", {"x": 2})
+
+
+def test_metrics_log_normalizes_uri_paths(tmp_path):
+    """MetricsLog is a driver-local log: file:/ URIs normalize to the local
+    path; non-local URIs (hdfs:/s3a:) keep records in memory instead of
+    open()-ing a mangled cwd-relative './hdfs:...' directory."""
+    import os
+
+    from memory_optimized_splink_spark.plans.metrics import MetricsLog
+
+    local = tmp_path / "lineage.jsonl"
+    m = MetricsLog(f"file://{local}")
+    m.log(stage="s", event="e")
+    assert local.exists() and m.records
+    m2 = MetricsLog("hdfs://nn/logs/lineage.jsonl")
+    m2.log(stage="s", event="e")
+    assert m2.path is None and m2.records
+    assert not os.path.exists("hdfs:")

@@ -192,10 +192,9 @@ def test_streaming_edge_clustering_merges_late_bridge(spark, tmp_path):
     assert got2 == batch_cc
 
     # the pointer itself lives on the Hadoop FS at the URI, not on the
-    # driver's cwd-relative local disk
-    import os
+    # driver's cwd-relative local disk (a local open() of the file:/ URI
+    # would have created a mangled ./file:/... artifact instead)
     assert (tmp_path / "membership" / "_CURRENT").exists()
-    assert not os.path.exists("file:")  # no mangled local artifact
 
 
 def test_membership_pointer_goes_through_hadoop_fs(spark, tmp_path):
