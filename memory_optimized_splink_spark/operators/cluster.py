@@ -116,6 +116,30 @@ def connected_components_long(edges: DataFrame, max_iterations: int = 50,
     return assign.groupBy("u").agg(F.min("rep").alias("rep"))
 
 
+def _compact_edges(idmap: DataFrame, edges: DataFrame, edge_l: str,
+                   edge_r: str, broadcast_idmap_max_bytes: int) -> DataFrame:
+    """edges(string, string) -> (u long, v long) via two idmap joins, with
+    the idmap explicitly broadcast while 2x its MEASURED materialized size
+    fits the cap (see solve_connected_components docstring)."""
+    from .vectors import _measured_size_bytes
+
+    side_l = idmap.select(F.col("node_id").alias("node_l"),
+                          F.col("nid").alias("u"))
+    side_r = idmap.select(F.col("node_id").alias("node_r"),
+                          F.col("nid").alias("v"))
+    if broadcast_idmap_max_bytes:
+        est = _measured_size_bytes(idmap)
+        if est is not None and 2 * est <= broadcast_idmap_max_bytes:
+            side_l, side_r = F.broadcast(side_l), F.broadcast(side_r)
+    return (
+        edges.select(F.col(edge_l).alias("node_l"),
+                     F.col(edge_r).alias("node_r"))
+        .join(side_l, on="node_l")
+        .join(side_r, on="node_r")
+        .select("u", "v")
+    )
+
+
 def solve_connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -125,23 +149,29 @@ def solve_connected_components(
     with_md5_ids: bool = False,
     max_iterations: int = 50,
     stats: dict | None = None,
+    broadcast_idmap_max_bytes: int = 1 << 30,
 ) -> DataFrame:
     """Per-node membership (node_col, cluster_id). Isolated nodes become
     singleton clusters (reference unions self-loops,
     connected_components.py:346-367 — here they just pass through).
 
-    `stats` (optional dict) receives {"rounds": n} from the star loop."""
+    `stats` (optional dict) receives {"rounds": n} from the star loop.
+
+    The string-id -> long compaction joins the EDGE table to the idmap on
+    BOTH endpoints. Left to Catalyst past its 64 MB threshold these flip
+    to sort-merge — two full shuffles + sorts of the (much larger) edge
+    table by 64-char string keys before CC even starts (the same silent
+    flip the round-4 scale run caught on the pair->node joins: at the
+    518M-pair run the idmap is ~200 MB for 2.8M nodes, so 196M edges were
+    re-shuffled twice). The idmap is already materialized (_checkpoint),
+    so its ACTUAL size is measured with one aggregate and both joins are
+    explicitly broadcast while 2x that size fits under
+    `broadcast_idmap_max_bytes` (both aliased projections are resident
+    per executor — the cap bounds the TOTAL). 0 disables the hint."""
     ids = nodes.select(F.col(node_col).alias("node_id")).distinct()
     idmap = _checkpoint(ids.withColumn("nid", F.monotonically_increasing_id()))
-
-    e = (
-        edges.select(F.col(edge_l).alias("node_l"), F.col(edge_r).alias("node_r"))
-        .join(idmap.select(F.col("node_id").alias("node_l"),
-                           F.col("nid").alias("u")), on="node_l")
-        .join(idmap.select(F.col("node_id").alias("node_r"),
-                           F.col("nid").alias("v")), on="node_r")
-        .select("u", "v")
-    )
+    e = _compact_edges(idmap, edges, edge_l, edge_r,
+                       broadcast_idmap_max_bytes)
     assign = connected_components_long(e, max_iterations=max_iterations,
                                        stats=stats)
     # map back: rep nid -> rep node_id; isolated nodes rep = self

@@ -314,3 +314,46 @@ def test_dedupe_metric_join_back_is_broadcast(spark, repo_nodes):
         assert joins and all("BroadcastHashJoin" in ln for ln in joins), joins
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_cc_idmap_compaction_joins_are_broadcast(spark):
+    """The CC string->long compaction must broadcast the (materialized,
+    measured) idmap into both edge joins even when Catalyst's own
+    threshold refuses — otherwise the edge table is shuffled+sorted twice
+    by 64-char string keys before CC starts (measured at the 518M-pair
+    run). broadcast_idmap_max_bytes=0 restores Catalyst's choice."""
+    from memory_optimized_splink_spark.operators.cluster import (
+        _checkpoint, _compact_edges, solve_connected_components,
+    )
+
+    nodes = spark.range(500).selectExpr("sha2(string(id), 256) AS unique_id")
+    edges = nodes.alias("a").crossJoin(nodes.alias("b")).selectExpr(
+        "a.unique_id AS unique_id_l", "b.unique_id AS unique_id_r"
+    ).where("unique_id_l < unique_id_r").limit(2000)
+    idmap = _checkpoint(
+        nodes.selectExpr("unique_id AS node_id")
+        .distinct().withColumn("nid", F.monotonically_increasing_id()))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+
+        def compaction_joins(e):
+            plan = e._jdf.queryExecution().executedPlan().toString()
+            return [ln for ln in plan.splitlines()
+                    if "Join" in ln and ("node_l" in ln or "node_r" in ln)]
+
+        e = _compact_edges(idmap, edges, "unique_id_l", "unique_id_r",
+                           1 << 30)
+        lines = compaction_joins(e)
+        assert lines and all("BroadcastHashJoin" in ln for ln in lines), lines
+        e0 = _compact_edges(idmap, edges, "unique_id_l", "unique_id_r", 0)
+        lines0 = compaction_joins(e0)
+        assert lines0 and not any("BroadcastHashJoin" in ln
+                                  for ln in lines0), lines0
+        # correctness unchanged by the hint (full CC, both cap settings)
+        m = solve_connected_components(nodes, edges)
+        m0 = solve_connected_components(nodes, edges,
+                                        broadcast_idmap_max_bytes=0)
+        assert m.count() == m0.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
