@@ -155,6 +155,7 @@ def cc_scale(spark: SparkSession, sf_dir: str, variants: int = 560) -> dict:
     out["n_clusters"] = member.select("cluster_id").distinct().count()
     out["t_cluster"] = round(time.time() - t0, 2)
     out["cc_rounds"] = cc_stats.get("rounds")
+    out["cc_round_secs"] = cc_stats.get("round_secs")
     return out
 
 

@@ -363,8 +363,12 @@ def _level_to_splink_dict(comp: Comparison, lv: ComparisonLevel) -> dict:
 def settings_to_splink_dict(s: Settings) -> dict:
     """Serialise Settings in the reference's as_dict() shape (dialect
     'spark': conditions are already Spark SQL). Round-trips through
-    settings_from_splink_dict for every native level kind it covers."""
-    return {
+    settings_from_splink_dict for every native level kind it covers, and
+    validates against the reference's own published settings_jsonschema
+    (test-enforced): notably that schema sets additionalProperties=false
+    and types source_dataset_column_name as string, so an unset one must
+    be OMITTED, not exported as null."""
+    out = {
         "link_type": s.link_type,
         "probability_two_random_records_match":
             s.probability_two_random_records_match,
@@ -375,7 +379,6 @@ def settings_to_splink_dict(s: Settings) -> dict:
         "em_convergence": s.em_convergence,
         "max_iterations": s.max_iterations,
         "unique_id_column_name": s.unique_id_column_name,
-        "source_dataset_column_name": s.source_dataset_column_name,
         "blocking_rules_to_generate_predictions": [
             {"blocking_rule": (
                 " AND ".join(f'(l."{k}" = r."{k}")' for k in r.keys)
@@ -388,3 +391,6 @@ def settings_to_splink_dict(s: Settings) -> dict:
                                    for lv in c.levels]}
             for c in s.comparisons],
     }
+    if s.source_dataset_column_name is not None:
+        out["source_dataset_column_name"] = s.source_dataset_column_name
+    return out

@@ -27,6 +27,8 @@ Scale design:
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..model import Settings
@@ -100,15 +102,19 @@ def connected_components_long(edges: DataFrame, max_iterations: int = 50,
         return e.select(F.col("u"), F.col("v").alias("rep")).limit(0)
     prev = None
     rounds = 0
+    round_secs: list[float] = []
     for _ in range(max_iterations):
+        t0 = time.time()
         e = _checkpoint(_small_star(_large_star(e)))
         rounds += 1
         cur = _checksum(e)
+        round_secs.append(round(time.time() - t0, 2))
         if prev == cur:
             break
         prev = cur
     if stats is not None:
         stats["rounds"] = rounds
+        stats["round_secs"] = round_secs
     # fixpoint edges are (node -> component min); add the roots themselves
     assign = e.select(F.col("u"), F.col("v").alias("rep")).union(
         e.select(F.col("v").alias("u"), F.col("v").alias("rep"))

@@ -421,3 +421,45 @@ def test_h50k_predict_matches_duckdb_oracle(spark):
     diff = (merged.match_probability_spark
             - merged.match_probability_oracle).abs().max()
     assert len(merged) > 500 and diff < 1e-9, (len(merged), diff)
+
+
+def test_export_validates_against_reference_jsonschema():
+    """settings_to_splink_dict output must validate against the
+    reference's OWN published settings schema
+    (splink/internals/files/settings_jsonschema.json —
+    additionalProperties=false, typed fields): both a natively-built
+    Settings and the round-trip of every demo model. This is the export
+    side of interop completeness — a dict we emit is loadable by the
+    reference."""
+    import jsonschema
+
+    from memory_optimized_splink_spark.model import (
+        Comparison, ComparisonLevel, Settings, block_on,
+    )
+
+    schema = json.load(open(
+        "/root/reference/splink/internals/files/settings_jsonschema.json"))
+    validator = jsonschema.Draft7Validator(schema)
+
+    s = Settings(
+        comparisons=(
+            Comparison("name", "name", (
+                ComparisonLevel("null"),
+                ComparisonLevel("exact", m=0.8, u=0.01, tf_adjustment=True),
+                ComparisonLevel("jaro_winkler", threshold=0.9, m=0.1,
+                                u=0.05),
+                ComparisonLevel("else", m=0.1, u=0.94))),
+        ),
+        blocking_rules=(block_on("name"),),
+        probability_two_random_records_match=0.01,
+        tf_columns=("name",),
+    )
+    errs = list(validator.iter_errors(settings_to_splink_dict(s)))
+    assert not errs, [e.message for e in errs[:5]]
+
+    for path in (DEMO, H50K, RT):
+        with open(path) as f:
+            model = json.load(f)
+        rt = settings_to_splink_dict(settings_from_splink_dict(model))
+        errs = list(validator.iter_errors(rt))
+        assert not errs, (path, [e.message for e in errs[:5]])
