@@ -46,42 +46,71 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return row["n"], row["h"]
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _star_partitions(n_edges: int, spark) -> int:
+    """Shuffle-partition count for one star round, sized from the EDGE COUNT
+    instead of inherited from `spark.sql.shuffle.partitions`.
+
+    Why this exists: a CC input arriving from a big upstream join inherits
+    that join's partition layout (with AQE skew-splitting, thousands of map
+    partitions), and the session-level shuffle setting is sized for the PAIR
+    table, not the compacted 16-byte edge table. Left alone, round 1 of the
+    star loop becomes `(thousands of maps) x (session reducers)` shuffle
+    files — at 63.8M edges that is ~5M index+data file commits, which all
+    serialize through IndexShuffleBlockResolver's per-executor commit lock
+    (observed: 17/32 task threads blocked on that monitor, wall 12x worse
+    than a right-sized run). ~1.5M symmetrized rows/partition keeps a
+    partition at ~50 MB of UnsafeRows, and the count shrinks with the edge
+    set as rounds converge."""
+    dp = spark.sparkContext.defaultParallelism
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    want = -(-2 * n_edges // 1_500_000)  # ceil; nbrs table is 2x edges
+    return max(min(dp, cap), min(cap, want, 4096))
+
+
+def _large_star(edges: DataFrame, npart: int | None = None) -> DataFrame:
     # repartition once on the star centre: the min-aggregate AND the
     # neighbours-to-mins join both require hash(u) clustering, so Catalyst
     # reuses this single exchange for both (2 shuffles/round instead of 3;
     # the join forces a full shuffle of nbrs by u either way, so no extra
-    # data moves and AQE skew-join still covers hub nodes).
+    # data moves and AQE skew-join still covers hub nodes). npart bounds
+    # BOTH the star exchange and the closing distinct's exchange (distinct
+    # is a groupBy(u, v): pre-clustering on (u, v) at npart means its
+    # exchange runs at npart reducers instead of the session default).
+    rep = (["u"] if npart is None else [npart, "u"])
     nbrs = edges.select("u", "v").union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).repartition("u")
+    ).repartition(*rep)
     mins = (
         nbrs.groupBy("u")
         .agg(F.min("v").alias("_mn"))
         .select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
     )
-    return (
+    out = (
         nbrs.join(mins, on="u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
+    if npart is not None:
+        out = out.repartition(npart, "u", "v")
+    return out.distinct()
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, npart: int | None = None) -> DataFrame:
+    rep = (["a"] if npart is None else [npart, "a"])
     e = edges.select(
         F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
-    ).where(F.col("a") != F.col("b")).repartition("a")
+    ).where(F.col("a") != F.col("b")).repartition(*rep)
     mins = e.groupBy("a").agg(F.min("b").alias("m"))
     out = (
         e.join(mins, on="a")
         .select(F.col("b").alias("u"), F.col("m").alias("v"))
         .union(mins.select(F.col("a").alias("u"), F.col("m").alias("v")))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
-    return out
+    if npart is not None:
+        out = out.repartition(npart, "u", "v")
+    return out.distinct()
 
 
 def connected_components_long(edges: DataFrame, max_iterations: int = 50,
@@ -94,20 +123,32 @@ def connected_components_long(edges: DataFrame, max_iterations: int = 50,
 
     Pass a dict as `stats` to receive {"rounds": n} — the number of
     large-star/small-star rounds run INCLUDING the final no-change round
-    that proves the fixpoint (scale evidence: rounds grows O(log^2 n))."""
+    that proves the fixpoint (scale evidence: rounds grows O(log^2 n)).
+
+    Every round runs at `_star_partitions(n_edges)` shuffle partitions —
+    sized from the live edge count (known for free from the convergence
+    checksum), not the session default, so the file/partition count tracks
+    the 16-byte edge table down as it converges instead of staying pinned
+    at a setting sized for the upstream pair table."""
+    spark = edges.sparkSession
     e = _checkpoint(edges.select("u", "v").where(F.col("u") != F.col("v")))
-    if e.isEmpty():
+    n_edges = e.count()
+    if not n_edges:
         if stats is not None:
             stats["rounds"] = 0
         return e.select(F.col("u"), F.col("v").alias("rep")).limit(0)
     prev = None
     rounds = 0
     round_secs: list[float] = []
+    round_parts: list[int] = []
     for _ in range(max_iterations):
         t0 = time.time()
-        e = _checkpoint(_small_star(_large_star(e)))
+        npart = _star_partitions(n_edges, spark)
+        round_parts.append(npart)
+        e = _checkpoint(_small_star(_large_star(e, npart), npart))
         rounds += 1
         cur = _checksum(e)
+        n_edges = cur[0] or 1
         round_secs.append(round(time.time() - t0, 2))
         if prev == cur:
             break
@@ -115,10 +156,11 @@ def connected_components_long(edges: DataFrame, max_iterations: int = 50,
     if stats is not None:
         stats["rounds"] = rounds
         stats["round_secs"] = round_secs
+        stats["round_partitions"] = round_parts
     # fixpoint edges are (node -> component min); add the roots themselves
     assign = e.select(F.col("u"), F.col("v").alias("rep")).union(
         e.select(F.col("v").alias("u"), F.col("v").alias("rep"))
-    )
+    ).repartition(_star_partitions(n_edges, spark), "u")
     return assign.groupBy("u").agg(F.min("rep").alias("rep"))
 
 

@@ -93,6 +93,52 @@ def test_cc_stats_round_count(spark):
     assert stats2["rounds"] == 0
 
 
+def test_cc_star_rounds_use_edge_sized_partitions(spark):
+    """Star rounds must NOT inherit the session shuffle-partition setting
+    (sized for the upstream pair table) nor the input's inflated partition
+    layout: at 63.8M edges that combination produced ~5M shuffle-file
+    commits all serialized through IndexShuffleBlockResolver's lock.
+    round_partitions must come from _star_partitions(edge count) — the
+    defaultParallelism floor here, far below both the session setting and
+    the input's partition count."""
+    from memory_optimized_splink_spark.operators.cluster import (
+        _star_partitions,
+        connected_components_long,
+    )
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "197")
+    try:
+        edges = spark.createDataFrame(
+            erdos_renyi_edges(400, 0.02, seed=7),
+        ).repartition(151).selectExpr("unique_id_l as u", "unique_id_r as v")
+        stats: dict = {}
+        out = connected_components_long(edges, stats=stats)
+        out.count()
+        expect = _star_partitions(edges.count(), spark)
+        assert expect < 151 and expect < 197
+        assert stats["round_partitions"][0] == expect
+        # the fixpoint edge set (and so the assignments) carry at most the
+        # edge-sized layout (AQE may coalesce further), never the
+        # 197-reducer session default
+        assert out.rdd.getNumPartitions() <= expect
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_star_partitions_scales_with_edges(spark):
+    from memory_optimized_splink_spark.operators.cluster import _star_partitions
+
+    dp = spark.sparkContext.defaultParallelism
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert _star_partitions(10, spark) == min(dp, cap)
+    # 63.8M edges -> ~86 partitions (~50 MB each), well under a
+    # pair-table-sized session setting of 1024
+    assert 64 <= _star_partitions(63_800_000, spark) <= min(128, cap) or cap < 64
+    # monotone and capped
+    assert _star_partitions(10**9, spark) <= max(cap, 4096)
+
+
 def test_md5_cluster_ids_stable_across_parallelism(spark):
     from pyspark.sql import functions as F
 
