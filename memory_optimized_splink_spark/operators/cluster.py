@@ -137,6 +137,23 @@ def connected_components_long(edges: DataFrame, max_iterations: int = 50,
         if stats is not None:
             stats["rounds"] = 0
         return e.select(F.col("u"), F.col("v").alias("rep")).limit(0)
+    # Bound the MAP side of round 1. When the compaction joins are
+    # broadcast (narrow), the checkpointed edge table inherits the
+    # upstream pair join's partition count — with AQE skew-splitting,
+    # thousands of map partitions for a 16-byte-row table. Round 1 then
+    # writes (inherited maps) x (star reducers) shuffle files; at 63.8M
+    # edges that map-width gap alone made round 1 ~2.3x slower than the
+    # sort-merge path, whose compaction shuffle AQE had already coalesced
+    # to a few dozen partitions. coalesce() is narrow over the checkpoint
+    # (no shuffle, no rewrite): each of the npart round-1 map tasks just
+    # reads several co-located checkpoint blocks.
+    npart0 = _star_partitions(n_edges, spark)
+    if stats is not None:
+        stats["input_partitions"] = e.rdd.getNumPartitions()
+    if e.rdd.getNumPartitions() > 2 * npart0:
+        e = e.coalesce(npart0)
+    if stats is not None:
+        stats["map_partitions"] = e.rdd.getNumPartitions()
     prev = None
     rounds = 0
     round_secs: list[float] = []

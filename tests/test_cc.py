@@ -126,6 +126,32 @@ def test_cc_star_rounds_use_edge_sized_partitions(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def test_cc_bounds_inherited_map_width(spark):
+    """A checkpointed edge table arriving with far more partitions than the
+    star rounds need (the broadcast-compaction path: the narrow BHJ output
+    inherits the upstream pair join's layout) must be coalesced down before
+    round 1, so round 1's shuffle-file count is (star parts)^2-ish, not
+    (inherited maps) x (star parts). coalesce is narrow — no extra shuffle."""
+    from memory_optimized_splink_spark.operators.cluster import (
+        _star_partitions,
+        connected_components_long,
+    )
+
+    edges = spark.createDataFrame(
+        erdos_renyi_edges(400, 0.02, seed=11),
+    ).repartition(173).selectExpr("unique_id_l as u", "unique_id_r as v")
+    stats: dict = {}
+    out = connected_components_long(edges, stats=stats)
+    out.count()
+    expect = _star_partitions(edges.count(), spark)
+    # the inflated input layout is recorded, and the fixpoint never ran a
+    # round wider than the edge-sized layout
+    assert stats["input_partitions"] >= 173
+    assert stats["map_partitions"] == expect
+    assert stats["round_partitions"][0] == expect
+    assert out.rdd.getNumPartitions() <= expect
+
+
 def test_star_partitions_scales_with_edges(spark):
     from memory_optimized_splink_spark.operators.cluster import _star_partitions
 
