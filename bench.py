@@ -394,9 +394,18 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    def _parts(default: int) -> int:
+        """Session shuffle partitions: each mode's CPU-derived default,
+        overridable via SPARK_GRAFT_SHUFFLE_PARTITIONS. The session value
+        is also the UPPER BOUND `_star_partitions` will size CC rounds to,
+        so billion-pair runs need it above the 128 default (625M edges at
+        128 reducers is ~10M rows/partition)."""
+        env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        return int(env) if env else default
+
     if args.skew:
         spark = get_spark(app_name="bench-skew", master=f"local[{cpus}]",
-                          shuffle_partitions=max(cpus, 16))
+                          shuffle_partitions=_parts(max(cpus, 16)))
         r = skew_experiment(spark, sf_dir)
         spark.stop()
         print(json.dumps({"metric": "hot_key_split_speedup",
@@ -407,7 +416,7 @@ def main() -> None:
 
     if args.scale_evidence:
         spark = get_spark(app_name="bench-scale", master=f"local[{cpus}]",
-                          shuffle_partitions=max(cpus * 4, 128))
+                          shuffle_partitions=_parts(max(cpus * 4, 128)))
         r = scale_evidence(spark, sf_dir, args.variants)
         print(json.dumps({"metric": "scale_evidence_pairs_scored_per_sec",
                           "value": r["pairs_scored_per_sec"],
@@ -417,7 +426,7 @@ def main() -> None:
 
     if args.cc_scale:
         spark = get_spark(app_name="bench-cc-scale", master=f"local[{cpus}]",
-                          shuffle_partitions=max(cpus * 4, 128))
+                          shuffle_partitions=_parts(max(cpus * 4, 128)))
         r = cc_scale(spark, sf_dir,
                      args.variants if args.variants != 40 else 560)
         print(json.dumps({"metric": "cc_scale_rounds",
@@ -454,7 +463,7 @@ def main() -> None:
         return
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]",
-                      shuffle_partitions=max(cpus, 16))
+                      shuffle_partitions=_parts(max(cpus, 16)))
     r = run_pipeline(spark, sf_dir, args.variants)
     extras = run_extra_queries(spark, sf_dir)
     queries = {
