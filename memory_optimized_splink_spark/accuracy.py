@@ -171,3 +171,50 @@ def prediction_errors(labels: DataFrame, predictions: DataFrame,
         F.when(pred_pos & ~is_pos, F.lit("FP"))
          .when(~pred_pos & is_pos, F.lit("FN")),
     ).where(F.col("error_type").isNotNull())
+
+
+ACCURACY_METRICS = ("specificity", "npv", "accuracy", "f1", "f2", "f0_5",
+                    "p4", "phi")
+
+
+def add_accuracy_metrics(truth_space: DataFrame,
+                         add_metrics: list[str] | None = None) -> DataFrame:
+    """Extend a truth-space frame (truth_threshold, tp, fp, fn, tn,
+    precision, recall, ...) with the reference's optional accuracy metrics
+    (reference accuracy.py:254-283 `truth_space_table_from_labels_*` final
+    SELECT): specificity TN/N, npv TN/(TN+FN) (1 when the denominator is
+    0), accuracy (TP+TN)/(P+N), F-beta for beta in {1, 2, 0.5}, P4, and
+    the phi / Matthews correlation coefficient (0 on any degenerate
+    margin). Pure Column expressions over already-computed counts — no
+    extra pass over the labels."""
+    metrics = list(add_metrics) if add_metrics is not None \
+        else list(ACCURACY_METRICS)
+    bad = [m for m in metrics if m not in ACCURACY_METRICS]
+    if bad:
+        raise ValueError(
+            f"invalid metrics {bad}; allowed: {', '.join(ACCURACY_METRICS)}")
+    tp, fp = F.col("tp"), F.col("fp")
+    fn, tn = F.col("fn"), F.col("tn")
+    p, n = tp + fn, tn + fp
+    exprs = {
+        "specificity": tn / n,
+        "npv": F.when(tn + fn == 0, F.lit(1.0)).otherwise(tn / (tn + fn)),
+        "accuracy": (tp + tn) / (p + n),
+        "f1": 2.0 * tp / (2 * tp + fn + fp),
+        "f2": 5.0 * tp / (5 * tp + 4 * fn + fp),
+        "f0_5": 1.25 * tp / (1.25 * tp + 0.25 * fn + fp),
+        # reference leaves the all-zero denominator (perfect classifier on
+        # a one-class margin) as 0/0; define it as 0 so the value is stable
+        "p4": F.when(
+            (4.0 * tp * tn) + ((tp + tn) * (fp + fn)) == 0, F.lit(0.0)
+        ).otherwise(
+            4.0 * tp * tn / ((4.0 * tp * tn) + ((tp + tn) * (fp + fn)))),
+        "phi": F.when(
+            (tn + fn == 0) | (tp + fp == 0) | (p == 0) | (n == 0), F.lit(0.0)
+        ).otherwise(
+            (tp * tn - fp * fn) / F.sqrt((tp + fp) * p * n * (tn + fn))),
+    }
+    out = truth_space
+    for m in metrics:
+        out = out.withColumn(m, exprs[m].cast("double"))
+    return out

@@ -621,3 +621,187 @@ def comparison_viewer_data(pred: DataFrame, settings: Settings,
         "*", F.row_number().over(w).alias("example_rank")
     ).where(F.col("example_rank") <= example_rows_per_pattern)
     return examples.join(counts, on=gcols)
+
+
+def unlinkables_chart_spec(unlinkables: DataFrame | list[dict],
+                           x_col: str = "match_weight") -> dict:
+    """Cumulative share of un-linkable records vs self-match threshold
+    (reference charts.py:356 `unlinkables_chart`, data from
+    unlinkables.py). Accepts the unlinkables_data() frame
+    (match_weight, prop, cum_prop); match_probability is derived from the
+    rounded weight (p = 2^w / (1 + 2^w)) exactly as the threshold
+    conversion does."""
+    if x_col not in ("match_weight", "match_probability"):
+        raise ValueError(
+            f"{x_col} must be 'match_weight' or 'match_probability'")
+    if isinstance(unlinkables, DataFrame):
+        records = [r.asDict() for r in
+                   unlinkables.orderBy("match_weight").collect()]
+    else:
+        records = list(unlinkables)
+    for r in records:
+        if "match_probability" not in r:
+            bf = 2.0 ** r["match_weight"]
+            r["match_probability"] = round(bf / (1.0 + bf), 5)
+    titles = {"match_weight": "Threshold match weight",
+              "match_probability": "Threshold match probability"}
+    enc_x = {"field": x_col, "type": "quantitative",
+             "axis": {"title": titles[x_col]}}
+    enc_y = {"field": "cum_prop", "type": "quantitative",
+             "axis": {"title": "Percentage of unlinkable records",
+                      "format": ".1%"}}
+    tooltip = [{"field": "match_weight", "type": "quantitative"},
+               {"field": "match_probability", "type": "quantitative"},
+               {"field": "cum_prop", "type": "quantitative",
+                "format": ".2%", "title": "cumulative share"}]
+    return {
+        "$schema": _VL_SCHEMA,
+        "title": {"text": "Unlinkable records",
+                  "subtitle": "Records with insufficient information to "
+                              "exceed the threshold, even against "
+                              "themselves"},
+        "data": {"values": records},
+        "layer": [
+            {"mark": {"type": "line", "interpolate": "step-after"},
+             "encoding": {"x": enc_x, "y": enc_y, "tooltip": tooltip}},
+            {"mark": {"type": "point", "size": 30},
+             "encoding": {"x": enc_x, "y": enc_y, "tooltip": tooltip}},
+        ],
+        "width": 400, "height": 300,
+    }
+
+
+def completeness_chart_spec(completeness: DataFrame | list[dict]) -> dict:
+    """Per-column (and per-source-dataset, when present) non-null share as
+    a heatmap (reference charts.py:391 `completeness_chart`, data from
+    completeness.py / operators.profiling.completeness_data)."""
+    if isinstance(completeness, DataFrame):
+        records = [r.asDict() for r in completeness.collect()]
+    else:
+        records = list(completeness)
+    has_sd = any("source_dataset" in r for r in records)
+    enc = {
+        "x": {"field": "column_name", "type": "nominal", "sort": None,
+              "title": "Column"},
+        "color": {"field": "completeness", "type": "quantitative",
+                  "scale": {"domain": [0, 1], "scheme": "greens"},
+                  "legend": {"format": ".0%"}},
+        "tooltip": [{"field": "column_name"},
+                    {"field": "completeness", "format": ".2%"}],
+    }
+    if has_sd:
+        enc["y"] = {"field": "source_dataset", "type": "nominal",
+                    "title": "Source dataset"}
+        enc["tooltip"].insert(0, {"field": "source_dataset"})
+    return _vegalite("Data completeness", records, {"type": "rect"}, enc,
+                     width=400)
+
+
+def cumulative_comparisons_chart_spec(
+        cumulative: DataFrame | list[dict]) -> dict:
+    """Comparisons generated per blocking rule, cumulative (reference
+    charts.py:401 `cumulative_blocking_rule_comparisons_generated`; data is
+    the oracle-checked cumulative_comparisons table)."""
+    if isinstance(cumulative, DataFrame):
+        records = [r.asDict() for r in cumulative.collect()]
+    else:
+        records = list(cumulative)
+    return _vegalite(
+        "Comparisons generated by blocking rule (cumulative)",
+        records,
+        {"type": "bar"},
+        {
+            "x": {"field": "row_count", "type": "quantitative",
+                  "title": "Comparisons generated"},
+            "y": {"field": "match_key", "type": "nominal", "sort": None,
+                  "title": "Blocking rule (match_key)"},
+            "tooltip": [{"field": "match_key"},
+                        {"field": "row_count", "type": "quantitative"},
+                        {"field": "cumulative_rows",
+                         "type": "quantitative"}],
+        },
+        width=450,
+    )
+
+
+def accuracy_chart_spec(truth_space: DataFrame | list[dict],
+                        add_metrics: list[str] | None = None) -> dict:
+    """Accuracy metrics vs threshold (reference accuracy_chart,
+    charts.py:236 / chart def accuracy_chart_*.json): precision and recall
+    always; extra metrics from add_accuracy_metrics folded into the same
+    long-format line chart. Input is the (driver-sized) truth-space
+    table."""
+    from .accuracy import ACCURACY_METRICS
+
+    extra = list(add_metrics or [])
+    bad = [m for m in extra if m not in ACCURACY_METRICS]
+    if bad:
+        raise ValueError(
+            f"invalid metrics {bad}; allowed: {', '.join(ACCURACY_METRICS)}")
+    rows = _truth_space_records(truth_space)
+    series = ["precision", "recall"] + extra
+    long: list[dict] = []
+    for r in rows:
+        for m in series:
+            if m in r and r[m] is not None:
+                long.append({"truth_threshold": r["truth_threshold"],
+                             "metric": m, "value": float(r[m])})
+    return _vegalite(
+        "Accuracy metrics vs match-weight threshold",
+        long,
+        {"type": "line", "clip": True, "interpolate": "monotone"},
+        {
+            "x": {"field": "truth_threshold", "type": "quantitative",
+                  "title": "Threshold match weight"},
+            "y": {"field": "value", "type": "quantitative",
+                  "scale": {"domain": [0, 1]}, "title": "Metric value"},
+            "color": {"field": "metric", "type": "nominal",
+                      "title": "Metric"},
+            "tooltip": [
+                {"field": "truth_threshold", "type": "quantitative",
+                 "format": ".4f"},
+                {"field": "metric", "type": "nominal"},
+                {"field": "value", "type": "quantitative", "format": ".4f"},
+            ],
+        },
+        width=500, height=350,
+    )
+
+
+def threshold_selection_tool_spec(truth_space: DataFrame | list[dict],
+                                  add_metrics: list[str] | None = None
+                                  ) -> dict:
+    """Interactive threshold-selection spec (reference
+    threshold_selection_tool, charts.py:252 / chart def
+    threshold_selection_tool_with_mw_vector.json): the accuracy-vs-
+    threshold line chart plus a bound slider parameter that positions a
+    rule mark at the chosen threshold, with the confusion counts in the
+    tooltip. Pure Vega-Lite (params + binding) — no JS runtime needed
+    beyond vega-embed."""
+    base = accuracy_chart_spec(truth_space, add_metrics)
+    rows = _truth_space_records(truth_space)
+    lo = min((r["truth_threshold"] for r in rows), default=0.0)
+    hi = max((r["truth_threshold"] for r in rows), default=1.0)
+    spec = {
+        "$schema": _VL_SCHEMA,
+        "title": {"text": "Threshold selection tool",
+                  "subtitle": "Drag the slider to move the candidate "
+                              "threshold; lines show metric trade-offs"},
+        "params": [{
+            "name": "threshold",
+            "value": (lo + hi) / 2.0,
+            "bind": {"input": "range", "min": lo, "max": hi,
+                     "step": max((hi - lo) / 200.0, 1e-6),
+                     "name": "Match-weight threshold: "},
+        }],
+        "layer": [
+            {"data": base["data"], "mark": base["mark"],
+             "encoding": base["encoding"]},
+            {"data": {"values": [{}]},
+             "mark": {"type": "rule", "color": "#888", "strokeDash": [4, 4]},
+             "encoding": {"x": {"datum": {"expr": "threshold"},
+                                "type": "quantitative"}}},
+        ],
+        "width": 500, "height": 350,
+    }
+    return spec

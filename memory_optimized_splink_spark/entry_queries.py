@@ -679,6 +679,63 @@ def q_truth_space(spark, sf_dir):
         F.round(F.col("tp") / F.lit(max(total_p, 1.0)), 6).alias("recall"))
 
 
+_TS_CONFUSION_CTES = """
+lp AS (
+  SELECT match_weight,
+         CASE WHEN gamma_content_sha = 1 THEN 1 ELSE 0 END AS is_pos
+  FROM predictions
+),
+per_t AS (
+  SELECT match_weight, SUM(is_pos) AS pos_at_t,
+         SUM(1 - is_pos) AS neg_at_t
+  FROM lp GROUP BY match_weight
+),
+tot AS (SELECT CAST(SUM(is_pos) AS DOUBLE) AS p,
+               CAST(SUM(1 - is_pos) AS DOUBLE) AS n FROM lp),
+ts AS (
+  SELECT match_weight AS truth_threshold,
+    CAST(SUM(pos_at_t) OVER w AS DOUBLE) AS tp,
+    CAST(SUM(neg_at_t) OVER w AS DOUBLE) AS fp,
+    (SELECT p FROM tot) - CAST(SUM(pos_at_t) OVER w AS DOUBLE) AS fn,
+    (SELECT n FROM tot) - CAST(SUM(neg_at_t) OVER w AS DOUBLE) AS tn
+  FROM per_t
+  WINDOW w AS (ORDER BY match_weight DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)"""
+
+
+@q("accuracy_metrics",
+   f"""WITH {PREDICT_CTE},{_TS_CONFUSION_CTES}
+SELECT truth_threshold, tp, fp, fn, tn,
+  ROUND(tn / (tn + fp), 6) AS specificity,
+  ROUND(CASE WHEN tn + fn = 0 THEN 1.0 ELSE tn / (tn + fn) END, 6) AS npv,
+  ROUND((tp + tn) / (tp + fn + tn + fp), 6) AS accuracy,
+  ROUND(2.0 * tp / (2 * tp + fn + fp), 6) AS f1,
+  ROUND(5.0 * tp / (5 * tp + 4 * fn + fp), 6) AS f2,
+  ROUND(1.25 * tp / (1.25 * tp + 0.25 * fn + fp), 6) AS f0_5,
+  ROUND(CASE WHEN (4.0 * tp * tn) + ((tp + tn) * (fp + fn)) = 0 THEN 0.0
+        ELSE 4.0 * tp * tn / ((4.0 * tp * tn) + ((tp + tn) * (fp + fn)))
+        END, 6) AS p4,
+  ROUND(CASE WHEN tn + fn = 0 OR tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0
+        THEN 0.0
+        ELSE ((tp * tn) - (fp * fn))
+          / SQRT((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)) END, 6)
+    AS phi
+FROM ts""")
+def q_accuracy_metrics(spark, sf_dir):
+    """Extended accuracy metrics over the truth space (reference
+    accuracy.py:254-283 final SELECT): specificity, NPV, accuracy,
+    F1/F2/F0.5, P4, and the phi/Matthews coefficient, each a pure Column
+    expression over the cumulative confusion counts."""
+    from .accuracy import ACCURACY_METRICS, add_accuracy_metrics
+
+    ts = q_truth_space(spark, sf_dir).select(
+        "truth_threshold", "tp", "fp", "fn", "tn")
+    out = add_accuracy_metrics(ts)
+    rounded = [F.round(F.col(m), 6).alias(m) for m in ACCURACY_METRICS]
+    return out.select("truth_threshold", "tp", "fp", "fn", "tn", *rounded)
+
+
 @q("prediction_errors",
    f"""WITH {PREDICT_CTE},
 nl2 AS (SELECT n.*, 'e' || CAST(doc_id - (doc_id % 5) AS VARCHAR) AS label

@@ -12,7 +12,7 @@ compare_two_records (inference.py:770-1118).
 from __future__ import annotations
 
 import math
-from dataclasses import replace
+from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -26,6 +26,15 @@ from .operators.vectors import compute_comparison_vectors
 from .plans.checkpoint import CheckpointRegistry
 from .plans.metrics import MetricsLog
 from . import train as train_mod
+
+
+@dataclass
+class GraphMetricsResults:
+    """Node / edge / cluster metric tables (reference
+    graph_metrics.py:17-60 GraphMetricsResults)."""
+    nodes: DataFrame
+    edges: DataFrame
+    clusters: DataFrame
 
 
 class SparkLinker:
@@ -58,6 +67,14 @@ class SparkLinker:
         self._tf_tables: dict[str, DataFrame] = {}
         self._input_fp: dict | None = None
         self._n_records_cache: dict | None = None
+        # invalidate_cache() bumps this; it is part of every stage config
+        # hash, so a bump makes all previously-checkpointed stages stale
+        # (reference table_management.py:99-123 regenerates _cache_uid)
+        self._cache_salt: str | None = None
+        # fingerprints of user-registered TF lookups — in the config hash so
+        # a registered lookup cannot silently resume a stale nodes stage
+        self._registered_tf_fp: dict[str, dict] = {}
+        self._registered_predict: DataFrame | None = None
         # (description, Settings snapshot) per estimation session, for
         # parameter_estimate_comparisons_chart (reference settings.py:581)
         self._parameter_estimates: list[tuple[str, object]] = []
@@ -84,15 +101,23 @@ class SparkLinker:
         return self._input_fp
 
     def _config(self, **extra) -> dict:
-        return {"settings": self.settings.to_json(),
-                "input": self._input_identity(), **extra}
+        cfg = {"settings": self.settings.to_json(),
+               "input": self._input_identity(), **extra}
+        if self._cache_salt:
+            cfg["cache_salt"] = self._cache_salt
+        if self._registered_tf_fp:
+            cfg["registered_tf"] = self._registered_tf_fp
+        return cfg
 
     def nodes(self) -> DataFrame:
         if self._nodes is None:
             def build():
                 from .operators.vectors import ensure_phonetic_columns
 
-                df, tf = join_tf_columns(self._input, self.settings)
+                # pre-registered TF lookups (register_term_frequency_lookup)
+                # take precedence over recomputation from the input
+                df, tf = join_tf_columns(self._input, self.settings,
+                                         self._tf_tables or None)
                 # phonetic keys are encoded ONCE here (distinct values ->
                 # join back), so the pair-scoring plan has no Python stage
                 # from phonetic levels
@@ -125,6 +150,11 @@ class SparkLinker:
         threshold_match_probability: float | None = None,
         threshold_match_weight: float | None = None,
     ) -> DataFrame:
+        if self._registered_predict is not None:
+            # a pre-computed predict table was registered
+            # (register_table_predict) — reference semantics: it IS the
+            # cached __splink__df_predict, no recomputation
+            return self._registered_predict
         cv = self.comparison_vectors()
         n_records = self._n_records()
 
@@ -199,6 +229,69 @@ class SparkLinker:
             "clusters", self._config(t=threshold_match_probability,
                                      md5=with_md5_ids), build,
         )
+
+    def deterministic_link(self) -> DataFrame:
+        """Pairwise comparisons from the blocking rules alone — no model
+        scoring (reference linker_components/inference.py:63-157). For
+        deterministic linkage the rules should be strict enough that every
+        generated pair is a true link; cluster the result with
+        cluster_pairwise_predictions_at_threshold(det, None)."""
+        nodes = self.nodes()
+        pairs = self.blocked_pairs()
+        return self.registry.stage(
+            "deterministic_link", self._config(),
+            lambda: compute_comparison_vectors(pairs, nodes, self.settings),
+        )
+
+    def cluster_pairwise_predictions_at_threshold(
+            self, df_predict: DataFrame,
+            threshold_match_probability: float | None = None,
+            with_md5_ids: bool = False) -> DataFrame:
+        """Cluster an EXPLICIT pairwise table (predict() output, a
+        registered predict table, or deterministic_link() output — the
+        latter has no match_probability column, so no threshold may be
+        given; reference linker_components/clustering.py:43-181)."""
+        if threshold_match_probability is not None \
+                and "match_probability" not in df_predict.columns:
+            raise ValueError(
+                "df_predict must have a 'match_probability' column if "
+                "threshold_match_probability is provided")
+        edges = df_predict
+        if threshold_match_probability is not None:
+            edges = edges.where(
+                F.col("match_probability") >= threshold_match_probability)
+        uid = self.settings.unique_id_column_name
+        nodes = self.nodes()
+        member = solve_connected_components(
+            nodes, edges.select("unique_id_l", "unique_id_r"),
+            node_col=uid, with_md5_ids=with_md5_ids)
+        return nodes.join(member.withColumnRenamed("node_id", uid), on=uid)
+
+    def cluster_using_single_best_links(
+            self, df_predict: DataFrame | None = None,
+            duplicate_free_datasets: list[str] | None = None,
+            threshold_match_probability: float | None = None) -> DataFrame:
+        """One-to-one constrained clustering: clusters keep at most one
+        record per source dataset in duplicate_free_datasets; links are
+        accepted strongest-mutual-best-first (reference
+        linker_components/clustering.py:183-320 / one_to_one_clustering.py).
+        Requires a source_dataset column (link settings)."""
+        from .operators.cluster_extras import one_to_one_clustering
+
+        sd = self.settings.source_dataset_column_name
+        if not sd:
+            raise ValueError(
+                "cluster_using_single_best_links requires settings with a "
+                "source_dataset_column_name")
+        pred = df_predict if df_predict is not None else self.predict()
+        uid = self.settings.unique_id_column_name
+        member = one_to_one_clustering(
+            self.nodes().select(F.col(uid), F.col(sd)),
+            pred, node_col=uid, source_dataset_col=sd,
+            duplicate_free_datasets=duplicate_free_datasets,
+            threshold_match_probability=threshold_match_probability)
+        return self.nodes().join(
+            member.withColumnRenamed("node_id", uid), on=uid)
 
     # ------------------------------------------------------------ training
     def estimate_u(self, max_pairs: float = 1e6) -> "SparkLinker":
@@ -372,6 +465,169 @@ class SparkLinker:
         self_pred = predict_op(cv, self.settings, n_records=self._n_records())
         return unlinkables_data(self_pred)
 
+    # ---------------------------------------------------- table management
+    # Reference: linker_components/table_management.py and misc.py. Spark
+    # has no "database the linker writes tables into" — temp views play the
+    # physical-table role and the checkpoint registry plays the cache.
+
+    def register_table(self, input_data, table_name: str,
+                       overwrite: bool = False) -> DataFrame:
+        """Register str/pandas/list-of-dicts/DataFrame as a temp view usable
+        from query_sql (reference table_management.py:306-366)."""
+        from .sources.registry import register_table as _reg
+        return _reg(self.spark, input_data, table_name, overwrite=overwrite)
+
+    def register_table_predict(self, input_data,
+                               overwrite: bool = False) -> DataFrame:
+        """Register a pre-computed predict table; subsequent predict() /
+        cluster() calls use it instead of recomputing (reference
+        table_management.py:154-183)."""
+        df = self.register_table(input_data, "__splink__df_predict",
+                                 overwrite=overwrite)
+        self._registered_predict = df
+        return df
+
+    def register_term_frequency_lookup(self, input_data, col_name: str,
+                                       overwrite: bool = False,
+                                       values_are_proportions: bool = False
+                                       ) -> DataFrame:
+        """Register a pre-computed TF lookup for `col_name`; linkage uses it
+        instead of recomputing from the input (reference
+        table_management.py:185-230). This engine's TF unit is the value
+        COUNT (term_frequencies.py semantics normalise by n_records at
+        score time); pass values_are_proportions=True for a reference-style
+        proportions table and it is rescaled by the column's non-null
+        count."""
+        from .sources.registry import read_any
+
+        if col_name in self._tf_tables and not overwrite:
+            raise ValueError(
+                f"a TF lookup for {col_name} is already registered; pass "
+                "overwrite=True to replace it")
+        tf_col = f"tf_{col_name}"
+        df = read_any(self.spark, input_data)
+        if not {col_name, tf_col} <= set(df.columns):
+            raise ValueError(
+                f"TF lookup for {col_name} must have columns "
+                f"({col_name}, {tf_col}); got {df.columns}")
+        df = df.select(col_name, F.col(tf_col).cast("double").alias(tf_col))
+        if values_are_proportions:
+            n_non_null = self._input.where(
+                F.col(col_name).isNotNull()).count()
+            df = df.select(
+                col_name,
+                (F.col(tf_col) * F.lit(float(n_non_null))).alias(tf_col))
+        # fingerprint into the stage-config hash so checkpointed stages
+        # built WITHOUT this lookup cannot be resumed as if they had it
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr(f"bit_xor(xxhash64({col_name}, {tf_col}))"),
+                F.lit(0)).alias("h")).collect()[0]
+        self._registered_tf_fp[col_name] = {"n": row["n"], "h": row["h"]}
+        self._tf_tables[col_name] = df
+        # memoized stages derived from the old TF values are stale
+        self._nodes = None
+        self._n_records_cache = None
+        self._local_scorer = None
+        return df
+
+    def compute_tf_table(self, column_name: str,
+                         is_array_column: bool = False,
+                         ordered: bool = False,
+                         tokenize: bool = False) -> DataFrame:
+        """Term-frequency count table for one column (reference
+        table_management.py:31-98). The plain (non-array, non-tokenized)
+        variant is cached for reuse by nodes()/realtime scoring — it is
+        exactly the table the nodes stage would compute from the same
+        input, so checkpoint identity is unchanged. Persist it with
+        df.write.parquet(...) and feed it back on a later run via
+        register_term_frequency_lookup."""
+        from .operators.nodes import compute_tf_table as _ctf
+
+        df = _ctf(self._input, column_name, is_array=is_array_column,
+                  tokenize=tokenize)
+        if not is_array_column and not tokenize:
+            self._tf_tables.setdefault(column_name, df)
+        if ordered:
+            df = df.orderBy(F.desc(f"tf_{column_name}"))
+        return df
+
+    def register_table_input_nodes_concat_with_tf(
+            self, input_data, overwrite: bool = False) -> DataFrame:
+        """Register a pre-computed nodes-with-TF table (the output of a
+        prior run's nodes stage) so linkage starts from it instead of
+        recomputing (reference table_management.py:125-151). The table is
+        fingerprinted into every downstream stage-config hash, so
+        checkpointed blocking/vector stages built from DIFFERENT nodes
+        cannot be silently resumed."""
+        from .sources.registry import read_any
+
+        if self._nodes is not None and not overwrite:
+            raise ValueError(
+                "a nodes table is already computed/registered; pass "
+                "overwrite=True to replace it")
+        df = read_any(self.spark, input_data)
+        missing = set(self._input.columns) - set(df.columns)
+        if missing:
+            raise ValueError(
+                f"registered nodes table is missing input columns "
+                f"{sorted(missing)}")
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr(f"bit_xor(xxhash64("
+                       f"{self.settings.unique_id_column_name}))"),
+                F.lit(0)).alias("h")).collect()[0]
+        self._registered_tf_fp["__nodes__"] = {"n": row["n"], "h": row["h"]}
+        self._nodes = df
+        self._n_records_cache = None
+        self._local_scorer = None
+        return df
+
+    def invalidate_cache(self) -> None:
+        """Drop every memoized/checkpointed intermediate so the next call
+        recomputes from the input (reference table_management.py:99-123 —
+        there by regenerating the cache uid; here the salt enters every
+        stage-config hash)."""
+        import uuid
+
+        self._cache_salt = uuid.uuid4().hex[:8]
+        self._nodes = None
+        self._tf_tables = {}
+        self._input_fp = None
+        self._n_records_cache = None
+        self._local_scorer = None
+        self._registered_predict = None
+
+    def delete_tables_created_by_splink_from_db(self) -> None:
+        """Remove this linker's checkpoint directory (the engine's
+        equivalent of the reference's physical splink tables;
+        table_management.py:285-303) through the Hadoop FileSystem API so
+        HDFS/S3A checkpoint locations work, not only the driver's disk."""
+        base = self.registry.base_dir
+        try:
+            jpath = self.spark._jvm.org.apache.hadoop.fs.Path(base)
+            fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            if fs.exists(jpath):
+                fs.delete(jpath, True)
+        except Exception:
+            import shutil
+            shutil.rmtree(base, ignore_errors=True)
+
+    def query_sql(self, sql: str, output_type: str = "dataframe"):
+        """Run arbitrary SQL against the session; views registered via
+        register_table* are in scope (reference misc.py:54-92). output_type:
+        'dataframe' (Spark) or 'pandas'."""
+        out = self.spark.sql(sql)
+        if output_type in ("dataframe", "splink_df", "splinkdf"):
+            return out
+        if output_type == "pandas":
+            return out.toPandas()
+        raise ValueError(
+            f"output_type '{output_type}' is not supported; use "
+            "'dataframe' or 'pandas'")
+
     # -------------------------------------------------------- chart data
     def match_weights_chart_data(self) -> list[dict]:
         from .charts import match_weights_chart_data
@@ -450,6 +706,40 @@ class SparkLinker:
             tf_style=self.settings.tf_style, n_most_freq=n_most_freq,
             n_least_freq=n_least_freq, vals_to_include=vals_to_include)
 
+    def unlinkables_chart(self, x_col: str = "match_weight") -> dict:
+        """Vega-Lite spec of the unlinkables() cumulative distribution
+        (reference charts.py:356 via evaluation.py:338)."""
+        from .charts import unlinkables_chart_spec
+        return unlinkables_chart_spec(self.unlinkables(), x_col=x_col)
+
+    def completeness_chart(self, columns: list[str] | None = None) -> dict:
+        """Per-column non-null share heatmap (reference completeness_chart;
+        data from operators.profiling.completeness_data)."""
+        from .charts import completeness_chart_spec
+        from .operators.profiling import completeness_data
+
+        cols = columns or [
+            c.column for c in self.settings.comparisons
+            if c.column in self._input.columns]
+        return completeness_chart_spec(completeness_data(
+            self._input,
+            source_dataset_col=self.settings.source_dataset_column_name,
+            columns=cols))
+
+    def cumulative_comparisons_chart(self) -> dict:
+        """Comparisons generated per blocking rule, cumulative (reference
+        cumulative_blocking_rule_comparisons_generated chart)."""
+        from pyspark.sql import Window
+        from .charts import cumulative_comparisons_chart_spec
+
+        per = self.blocked_pairs().groupBy("match_key").agg(
+            F.count(F.lit(1)).alias("row_count"))
+        w = Window.orderBy("match_key").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        return cumulative_comparisons_chart_spec(per.select(
+            "match_key", "row_count",
+            F.sum("row_count").over(w).alias("cumulative_rows")))
+
     def roc_chart(self, labels: DataFrame) -> dict:
         """ROC curve from pairwise labels via the truth-space table
         (reference accuracy_analysis_from_labels_table chart output)."""
@@ -493,22 +783,19 @@ class SparkLinker:
     def truth_space(self, labels: DataFrame) -> DataFrame:
         return truth_space_table(labels, self.predict())
 
-    def truth_space_from_labels_column(
-            self, label_col: str, threshold_actual: float = 0.5,
-            positives_not_captured_by_blocking_rules_scored_as_zero:
-            bool = True) -> DataFrame:
-        """Truth space from a ground-truth CLUSTER column (reference
-        accuracy.py:337-404 / _predict_from_label_column_sql:498-527): the
-        model's blocking rules are extended with an equi rule on the label
-        column, so every intra-label pair is scored; pairs found ONLY by
-        that label rule count as missed by blocking (scored -999), and
-        label pairs never generated at all enter as implicit true negatives
-        via the cartesian count."""
-        from .accuracy import truth_space_from_labels_with_predictions
+    def _label_column_predictions(self, label_col: str
+                                  ) -> tuple[DataFrame, float]:
+        """Score every intra-label pair by extending the blocking rules
+        with an equi rule on the label column (reference
+        accuracy.py:337-404 / _predict_from_label_column_sql:498-527).
+        Returns (pred, total_labels) where pred carries the usual predict
+        columns plus clerical_match_score (label equality) and
+        found_by_blocking_rules (pair generated by a MODEL rule, not only
+        the added label rule), and total_labels is the cartesian label-pair
+        count (C(n,2) for dedupe; cross-dataset product for link_only)."""
         from .model import block_on
         from .operators.blocking import block_using_rules
 
-        uid = self.settings.unique_id_column_name
         nodes = self.nodes()
         n = nodes.count()
         if self.settings.link_type == "link_only":
@@ -533,21 +820,277 @@ class SparkLinker:
         pairs = block_using_rules(nodes, s2)
         cv = compute_comparison_vectors(pairs, nodes, s2)
         pred = predict_op(cv, s2, n_records=self._n_records())
-        lp = pred.select(
-            "match_weight",
+        pred = pred.withColumn(
+            "clerical_match_score",
             F.when(F.col(f"{label_col}_l") == F.col(f"{label_col}_r"),
-                   F.lit(1.0)).otherwise(F.lit(0.0))
-            .alias("clerical_match_score"),
-            (F.col("match_key") != new_mk).alias("found_by_blocking_rules"),
-        )
+                   F.lit(1.0)).otherwise(F.lit(0.0)),
+        ).withColumn(
+            "found_by_blocking_rules", F.col("match_key") != new_mk)
+        return pred, total_labels
+
+    def truth_space_from_labels_column(
+            self, label_col: str, threshold_actual: float = 0.5,
+            positives_not_captured_by_blocking_rules_scored_as_zero:
+            bool = True) -> DataFrame:
+        """Truth space from a ground-truth CLUSTER column (reference
+        accuracy.py:337-404): pairs found ONLY by the added label rule
+        count as missed by blocking (scored -999), and label pairs never
+        generated at all enter as implicit true negatives via the
+        cartesian count."""
+        from .accuracy import truth_space_from_labels_with_predictions
+
+        pred, total_labels = self._label_column_predictions(label_col)
+        lp = pred.select("match_weight", "clerical_match_score",
+                         "found_by_blocking_rules")
         return truth_space_from_labels_with_predictions(
             lp, total_labels, threshold_actual,
             positives_not_captured_by_blocking_rules_scored_as_zero)
+
+    def register_labels_table(self, input_data,
+                              overwrite: bool = False) -> DataFrame:
+        """Register a clerical-labels table ((source_dataset_l,)
+        unique_id_l, (source_dataset_r,) unique_id_r, clerical_match_score)
+        for the evaluation methods (reference
+        table_management.py:279-283)."""
+        df = self.register_table(input_data, "__splink__labels",
+                                 overwrite=overwrite)
+        need = {"unique_id_l", "unique_id_r", "clerical_match_score"}
+        if not need <= set(df.columns):
+            raise ValueError(
+                f"labels table must have columns {sorted(need)}; "
+                f"got {df.columns}")
+        return df
+
+    def prediction_errors_from_labels_table(
+            self, labels: DataFrame,
+            include_false_positives: bool = True,
+            include_false_negatives: bool = True,
+            threshold_match_probability: float = 0.5) -> DataFrame:
+        """FP/FN rows vs a clerical-labels table at one probability
+        threshold (reference evaluation.py:38-89 /
+        accuracy.py:447-560)."""
+        from .accuracy import prediction_errors
+
+        thr_w = math.log2(prob_to_bayes_factor(threshold_match_probability))
+        errs = prediction_errors(labels, self.predict(),
+                                 threshold_weight=thr_w)
+        if not include_false_positives:
+            errs = errs.where(F.col("error_type") != "FP")
+        if not include_false_negatives:
+            errs = errs.where(F.col("error_type") != "FN")
+        return errs
+
+    def prediction_errors_from_labels_column(
+            self, label_colname: str,
+            include_false_positives: bool = True,
+            include_false_negatives: bool = True,
+            threshold_match_probability: float = 0.5) -> DataFrame:
+        """FP/FN rows vs a ground-truth cluster COLUMN (reference
+        evaluation.py:299-337): the label-extended blocking scores every
+        intra-label pair, so false negatives the model's own blocking never
+        generated are still surfaced (they carry found_by_blocking_rules =
+        false)."""
+        pred, _ = self._label_column_predictions(label_colname)
+        pred_pos = (F.col("match_probability")
+                    >= F.lit(float(threshold_match_probability))) \
+            & F.col("found_by_blocking_rules")
+        is_pos = F.col("clerical_match_score") >= F.lit(0.5)
+        errs = pred.withColumn(
+            "error_type",
+            F.when(pred_pos & ~is_pos, F.lit("FP"))
+             .when(~pred_pos & is_pos, F.lit("FN")),
+        ).where(F.col("error_type").isNotNull())
+        if not include_false_positives:
+            errs = errs.where(F.col("error_type") != "FP")
+        if not include_false_negatives:
+            errs = errs.where(F.col("error_type") != "FN")
+        return errs
+
+    _ACCURACY_OUTPUTS = ("threshold_selection", "roc", "precision_recall",
+                         "table", "accuracy")
+
+    def _accuracy_output(self, truth_space: DataFrame, output_type: str,
+                         add_metrics: list[str]):
+        from .accuracy import add_accuracy_metrics
+        from .charts import (accuracy_chart_spec, precision_recall_chart_spec,
+                             roc_chart_spec, threshold_selection_tool_spec)
+
+        ts = add_accuracy_metrics(truth_space, add_metrics)
+        if output_type == "table":
+            return ts
+        if output_type == "roc":
+            return roc_chart_spec(ts)
+        if output_type == "precision_recall":
+            return precision_recall_chart_spec(ts)
+        if output_type == "accuracy":
+            return accuracy_chart_spec(ts, add_metrics)
+        if output_type == "threshold_selection":
+            return threshold_selection_tool_spec(ts, add_metrics)
+        raise ValueError(
+            f"invalid output_type '{output_type}'; allowed: "
+            f"{', '.join(self._ACCURACY_OUTPUTS)}")
+
+    def accuracy_analysis_from_labels_table(
+            self, labels: DataFrame, *,
+            threshold_match_probability: float = 0.5,
+            output_type: str = "threshold_selection",
+            add_metrics: list[str] | None = None):
+        """Accuracy chart spec or extended truth-space table from a
+        clerical-labels table (reference evaluation.py:186-298).
+        output_type: threshold_selection | roc | precision_recall | table |
+        accuracy; add_metrics extends precision/recall with any of
+        specificity, npv, accuracy, f1, f2, f0_5, p4, phi."""
+        ts = truth_space_table(labels, self.predict(),
+                               positive_threshold=threshold_match_probability)
+        return self._accuracy_output(ts, output_type, list(add_metrics or []))
+
+    def accuracy_analysis_from_labels_column(
+            self, labels_column_name: str, *,
+            threshold_match_probability: float = 0.5,
+            output_type: str = "threshold_selection",
+            add_metrics: list[str] | None = None,
+            positives_not_captured_by_blocking_rules_scored_as_zero:
+            bool = True):
+        """Accuracy chart spec or extended truth-space table from a
+        ground-truth cluster column (reference evaluation.py:90-185)."""
+        ts = self.truth_space_from_labels_column(
+            labels_column_name,
+            threshold_actual=threshold_match_probability,
+            positives_not_captured_by_blocking_rules_scored_as_zero=(
+                positives_not_captured_by_blocking_rules_scored_as_zero))
+        return self._accuracy_output(ts, output_type, list(add_metrics or []))
+
+    def compute_graph_metrics(
+            self, df_predict: DataFrame | None = None,
+            df_clustered: DataFrame | None = None, *,
+            threshold_match_probability: float) -> "GraphMetricsResults":
+        """Node / edge / cluster graph metrics (reference
+        clustering.py:480-550 + graph_metrics.py): node degree, per-cluster
+        size/edges/density/centralisation, and per-edge is_bridge (the
+        distributed per-cluster Tarjan)."""
+        from .operators.cluster import bridges as bridges_op, graph_metrics
+
+        uid = self.settings.unique_id_column_name
+        pred = df_predict if df_predict is not None else self.predict()
+        if df_clustered is None:
+            df_clustered = self.cluster(threshold_match_probability)
+        member = df_clustered.select(F.col(uid).alias("node_id"),
+                                     "cluster_id")
+        edges = pred.where(F.col("match_probability")
+                           >= threshold_match_probability) \
+            .select("unique_id_l", "unique_id_r")
+        node_metrics, cluster_metrics = graph_metrics(member, edges)
+        edge_metrics = bridges_op(member, edges)
+        return GraphMetricsResults(nodes=node_metrics, edges=edge_metrics,
+                                   clusters=cluster_metrics)
 
     def cluster_f1(self, threshold: float, truth_col: str = "cluster") -> dict:
         uid = self.settings.unique_id_column_name
         mem = self.cluster(threshold).select(uid, "cluster_id", truth_col)
         return pairwise_cluster_f1(mem, truth_col=truth_col)
+
+    # -------------------------------------------------- training aliases
+    # Reference-name entry points (linker_components/training.py); each
+    # delegates to the engine-native method it documents.
+
+    def estimate_probability_two_random_records_match(
+            self, deterministic_matching_rules: list, recall: float
+    ) -> "SparkLinker":
+        """Reference training.py:34-158 — estimate λ from deterministic
+        rules + assumed recall (native name: estimate_lambda)."""
+        return self.estimate_lambda(deterministic_matching_rules, recall)
+
+    def estimate_parameters_using_expectation_maximisation(
+            self, blocking_rule, fix_u: bool = True) -> list[dict]:
+        """Reference training.py:210-315 (native name:
+        estimate_m_with_em). Returns the per-iteration history."""
+        return self.estimate_m_with_em(blocking_rule, fix_u=fix_u)
+
+    def estimate_m_from_pairwise_labels(self, labels: DataFrame
+                                        ) -> "SparkLinker":
+        """m-probabilities from a table of known-match pairs (reference
+        training.py:316-352): the labelled pairs are scored with the
+        current model and their gamma distribution sets m directly."""
+        self.settings = train_mod.estimate_m_from_pairwise_labels(
+            self.nodes(), self.settings, labels)
+        self._parameter_estimates.append(
+            ("m from pairwise labels", self.settings))
+        return self
+
+    # ------------------------------------------------------------- misc
+    def save_model_to_json(self, out_path: str | None = None,
+                           overwrite: bool = False) -> dict:
+        """Serialize the trained model as a reference-format settings dict
+        (reference misc.py:21-52), optionally writing it to a file."""
+        import json
+        import os
+
+        from .interop import settings_to_splink_dict
+
+        d = settings_to_splink_dict(self.settings)
+        if out_path:
+            if os.path.exists(out_path) and not overwrite:
+                raise FileExistsError(
+                    f"{out_path} exists; pass overwrite=True to replace")
+            with open(out_path, "w") as f:
+                json.dump(d, f, indent=2)
+        return d
+
+    # --------------------------------------------------- dashboard writers
+    def comparison_viewer_dashboard(
+            self, out_path: str, overwrite: bool = False,
+            example_rows_per_pattern: int = 2,
+            max_patterns: int = 200) -> str:
+        """Write the single-file comparison-viewer HTML (reference
+        visualisations.py:299-357)."""
+        import os
+
+        from .dashboards import comparison_viewer_dashboard as _cvd
+
+        if os.path.exists(out_path) and not overwrite:
+            raise FileExistsError(
+                f"{out_path} exists; pass overwrite=True to replace")
+        return _cvd(self.predict(), self.settings,
+                    example_rows_per_pattern=example_rows_per_pattern,
+                    max_patterns=max_patterns, out_path=out_path)
+
+    def cluster_studio_dashboard(
+            self, threshold_match_probability: float, out_path: str,
+            overwrite: bool = False, sample_clusters: int = 10) -> str:
+        """Write the single-file cluster-studio HTML (reference
+        visualisations.py:358-430)."""
+        import os
+
+        from .dashboards import cluster_studio_dashboard as _csd
+
+        if os.path.exists(out_path) and not overwrite:
+            raise FileExistsError(
+                f"{out_path} exists; pass overwrite=True to replace")
+        member, edges = self.cluster_studio_data(
+            threshold_match_probability, sample_clusters)
+        return _csd(member, edges, out_path=out_path)
+
+    def labelling_tool_for_specific_record(
+            self, record: dict, out_path: str = "labelling_tool.html",
+            overwrite: bool = False, match_weight_threshold: float = -4.0,
+            show_splink_predictions_in_interface: bool = True) -> str:
+        """Write the offline labelling-tool HTML for one record's
+        candidate matches (reference evaluation.py:372-430 /
+        labelling_tool.py)."""
+        import os
+
+        from .dashboards import (generate_labelling_tool_comparisons,
+                                 labelling_tool_dashboard)
+
+        if os.path.exists(out_path) and not overwrite:
+            raise FileExistsError(
+                f"{out_path} exists; pass overwrite=True to replace")
+        matches = generate_labelling_tool_comparisons(
+            self, record, match_weight_threshold=match_weight_threshold)
+        return labelling_tool_dashboard(
+            matches, self.settings,
+            show_predictions=show_splink_predictions_in_interface,
+            out_path=out_path)
 
 
 def _blocking_analysis_api():
