@@ -805,3 +805,84 @@ def threshold_selection_tool_spec(truth_space: DataFrame | list[dict],
         "width": 500, "height": 350,
     }
     return spec
+
+
+def profile_columns_chart_spec(df: DataFrame,
+                               columns: list[str] | None = None,
+                               top_n: int = 10, bottom_n: int = 10) -> dict:
+    """Multi-panel column profiler (reference profile_data.py:82-238
+    profile_columns / files/chart_defs/profile_data.json): per column, an
+    hconcat of (1) the value-frequency percentile distribution — aggregated
+    by distinct frequency so the payload is bounded by the count-histogram
+    size, not column cardinality — (2) top-n values by count, (3) bottom-n
+    values by count; columns vconcat'd into one spec."""
+    from .operators.profiling import profile_panel_data
+
+    columns = columns or [c for c, t in df.dtypes if t == "string"]
+    panels = []
+    for col in columns:
+        percentile, top, bottom = profile_panel_data(df, col, top_n,
+                                                     bottom_n)
+        if not percentile:
+            continue
+        meta = percentile[0]
+        null_rows = meta["total_rows_inc_nulls"] - meta["total_non_null_rows"]
+        sub = (f"{null_rows:,} null rows; "
+               f"{meta['distinct_value_count']:,} distinct values")
+        dist = {
+            "data": {"values": percentile},
+            "mark": {"type": "line", "interpolate": "step-after"},
+            "title": {
+                "text": f"Distribution of counts of values in column {col}",
+                "subtitle": sub},
+            "encoding": {
+                "x": {"field": "percentile_ex_nulls", "type": "quantitative",
+                      "sort": "descending",
+                      "title": "Percentile (of non-null rows)"},
+                "y": {"field": "value_count", "type": "quantitative",
+                      "scale": {"type": "symlog"},
+                      "title": "Count of records in value"},
+                "tooltip": [
+                    {"field": "value_count", "type": "quantitative"},
+                    {"field": "n_values", "type": "quantitative",
+                     "title": "values with this count"},
+                    {"field": "percentile_ex_nulls", "type": "quantitative",
+                     "format": ".2%"},
+                ],
+            },
+            "width": 300, "height": 200,
+        }
+
+        def _bar(values, title):
+            return {
+                "data": {"values": values},
+                "mark": {"type": "bar"},
+                "title": title,
+                "encoding": {
+                    "x": {"field": "value", "type": "nominal", "sort": None,
+                          "title": None},
+                    "y": {"field": "value_count", "type": "quantitative",
+                          "title": "value count"},
+                    "tooltip": [{"field": "value"},
+                                {"field": "value_count",
+                                 "type": "quantitative"}],
+                },
+                "width": 200, "height": 200,
+            }
+
+        bottom_panel = _bar(bottom, f"Bottom {len(bottom)} values by count")
+        if top:
+            bottom_panel["encoding"]["y"]["scale"] = {
+                "domain": [0, top[0]["value_count"]]}
+        panels.append({"hconcat": [
+            dist,
+            _bar(top, f"Top {len(top)} values by count"),
+            bottom_panel,
+        ]})
+    return {
+        "$schema": _VL_SCHEMA,
+        "title": "Column profiles",
+        "vconcat": panels,
+        "config": {"view": {"continuousWidth": 400,
+                            "continuousHeight": 300}},
+    }

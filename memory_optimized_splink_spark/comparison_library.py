@@ -177,3 +177,26 @@ def postcode_comparison(col: str = "postcode") -> Comparison:
                         sql_condition=f"{area(col + '_l')} = {area(col + '_r')}"),
         _else(),
     ))
+
+
+# ---- level composition (reference comparison_level_composition.py) ---------
+
+def And(*levels: ComparisonLevel, **attrs) -> ComparisonLevel:
+    """Level whose condition is the AND of the given levels' conditions
+    (reference comparison_level_composition.py:54-66). An And of only null
+    levels is itself a null level. Level attributes (m, u, label,
+    tf_adjustment, ...) may be set via keyword args."""
+    return ComparisonLevel("and", sub_levels=tuple(levels), **attrs)
+
+
+def Or(*levels: ComparisonLevel, **attrs) -> ComparisonLevel:
+    """Level whose condition is the OR of the given levels' conditions
+    (reference comparison_level_composition.py:69-81)."""
+    return ComparisonLevel("or", sub_levels=tuple(levels), **attrs)
+
+
+def Not(level: ComparisonLevel, **attrs) -> ComparisonLevel:
+    """Level whose condition negates the given level's condition (reference
+    comparison_level_composition.py:84-106); never a null level, even when
+    the negated level is."""
+    return ComparisonLevel("not", sub_levels=(level,), **attrs)

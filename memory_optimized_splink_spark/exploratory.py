@@ -204,3 +204,13 @@ def phonetic_match_chart(data, col1: str, col2: str) -> dict:
                             "comparator": transform,
                             "match": int(l == r), "codes": f"{l} / {r}"})
     return _heatmap(records, "Phonetic matches", color_field="match")
+
+
+def profile_columns(df, columns=None, top_n: int = 10,
+                    bottom_n: int = 10) -> dict:
+    """Reference splink.exploratory.profile_columns equivalent: the
+    multi-panel profiler chart spec (see charts.profile_columns_chart_spec;
+    data aggregation is distributed, payload driver-bounded)."""
+    from .charts import profile_columns_chart_spec
+    return profile_columns_chart_spec(df, columns=columns, top_n=top_n,
+                                      bottom_n=bottom_n)

@@ -334,6 +334,15 @@ def _level_to_splink_dict(comp: Comparison, lv: ComparisonLevel) -> dict:
     elif lv.kind in _KIND_TO_FN:
         fn, op = _KIND_TO_FN[lv.kind]
         sql = f'{fn}("{col}_l", "{col}_r") {op} {lv.threshold}'
+    elif lv.kind in ("and", "or"):
+        # the reference's And/Or/Not flatten to combined SQL at settings-
+        # creation time (comparison_level_composition.py:43-46) — same here
+        sql = f" {lv.kind.upper()} ".join(
+            f"({_level_to_splink_dict(comp, s)['sql_condition']})"
+            for s in lv.sub_levels)
+    elif lv.kind == "not":
+        inner = _level_to_splink_dict(comp, lv.sub_levels[0])["sql_condition"]
+        sql = f"NOT ({inner})"
     else:
         raise UnsupportedSettingsError(
             f"level kind {lv.kind!r} has no reference-format serialisation")
@@ -344,7 +353,7 @@ def _level_to_splink_dict(comp: Comparison, lv: ComparisonLevel) -> dict:
         out["m_probability"] = lv.m
     if lv.u is not None:
         out["u_probability"] = lv.u
-    if lv.kind == "null":
+    if lv.is_null_level:
         out["is_null_level"] = True
     if lv.tf_adjustment:
         out["tf_adjustment_column"] = col

@@ -46,10 +46,43 @@ class ComparisonLevel:
     # fork fuzzy-TF params (/root/reference/.../comparison_level.py:720-744)
     fuzzy_similarity_value: float | None = None
     fuzzy_max_epsilon: float | None = None
+    # composed levels (reference comparison_level_composition.py And/Or/Not):
+    # kind in ("and", "or", "not"); the condition combines the sub levels'
+    sub_levels: tuple["ComparisonLevel", ...] = ()
+
+    def __post_init__(self):
+        if isinstance(self.sub_levels, list):
+            object.__setattr__(self, "sub_levels", tuple(self.sub_levels))
+        if self.kind in ("and", "or") and not self.sub_levels:
+            raise ValueError(f"'{self.kind}' level needs >=1 sub_levels")
+        if self.kind == "not" and len(self.sub_levels) != 1:
+            raise ValueError("'not' level needs exactly 1 sub_level")
+
+    @property
+    def is_null_level(self) -> bool:
+        """An And/Or of only-null levels is itself a null level; a Not of a
+        null level is not (reference comparison_level_composition.py:40,
+        100-102)."""
+        if self.kind == "null":
+            return True
+        if self.kind in ("and", "or"):
+            return all(s.is_null_level for s in self.sub_levels)
+        return False
+
+    def walk(self):
+        """This level and every nested sub level, depth-first."""
+        yield self
+        for s in self.sub_levels:
+            yield from s.walk()
 
     def describe(self) -> str:
         if self.label:
             return self.label
+        if self.kind in ("and", "or"):
+            op = f" {self.kind.upper()} "
+            return op.join(f"({s.describe()})" for s in self.sub_levels)
+        if self.kind == "not":
+            return f"NOT ({self.sub_levels[0].describe()})"
         if self.kind in ("null", "else", "exact"):
             return self.kind
         if self.threshold is not None:
@@ -70,7 +103,7 @@ class Comparison:
     @property
     def null_level(self) -> ComparisonLevel | None:
         for lv in self.levels:
-            if lv.kind == "null":
+            if lv.is_null_level:
                 return lv
         return None
 
@@ -78,7 +111,7 @@ class Comparison:
     def graded_levels(self) -> list[tuple[int, ComparisonLevel]]:
         """(gamma_value, level) for non-null levels; first graded level gets
         the highest gamma, the else level gets 0."""
-        non_null = [lv for lv in self.levels if lv.kind != "null"]
+        non_null = [lv for lv in self.levels if not lv.is_null_level]
         n = len(non_null)
         return [(n - 1 - i, lv) for i, lv in enumerate(non_null)]
 
@@ -96,7 +129,7 @@ class Comparison:
         n = len(graded)
         new_levels = []
         for lv in self.levels:
-            if lv.kind == "null":
+            if lv.is_null_level:
                 new_levels.append(lv)
                 continue
             gamma = next(g for g, l2 in graded if l2 is lv)
@@ -110,10 +143,10 @@ class Comparison:
                 u = m / (2.0 ** w)
             new_levels.append(replace(lv, m=m, u=u))
         # normalize u to <=1 domain
-        total_u = sum(lv.u for lv in new_levels if lv.kind != "null")
+        total_u = sum(lv.u for lv in new_levels if not lv.is_null_level)
         if total_u > 1.0:
             new_levels = [
-                lv if lv.kind == "null" else replace(lv, u=lv.u / total_u)
+                lv if lv.is_null_level else replace(lv, u=lv.u / total_u)
                 for lv in new_levels
             ]
         return replace(self, levels=tuple(new_levels))
@@ -213,11 +246,12 @@ class Settings:
         if self.source_dataset_column_name:
             cols.add(self.source_dataset_column_name)
         for comp in self.comparisons:
-            for lv in comp.levels:
-                for c in (lv.column or comp.column, lv.column2,
-                          lv.lat_column, lv.long_column):
-                    if c:
-                        cols.add(c)
+            for top in comp.levels:
+                for lv in top.walk():
+                    for c in (lv.column or comp.column, lv.column2,
+                              lv.lat_column, lv.long_column):
+                        if c:
+                            cols.add(c)
         for rule in self.blocking_rules:
             for k in (rule.keys or ()):
                 if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", k.strip()):
@@ -254,10 +288,17 @@ class Settings:
     @staticmethod
     def from_json(s: str) -> "Settings":
         d = json.loads(s)
+
+        def _level(lv: dict) -> ComparisonLevel:
+            lv = dict(lv)
+            lv["sub_levels"] = tuple(
+                _level(sub) for sub in lv.get("sub_levels", ()))
+            return ComparisonLevel(**lv)
+
         d["comparisons"] = tuple(
             Comparison(
                 name=c["name"], column=c["column"],
-                levels=tuple(ComparisonLevel(**lv) for lv in c["levels"]),
+                levels=tuple(_level(lv) for lv in c["levels"]),
             )
             for c in d["comparisons"]
         )

@@ -64,3 +64,49 @@ def completeness_data(df: DataFrame, source_dataset_col: str | None = None,
     return wide.selectExpr(
         *group, f"stack({len(columns)}, {stack_expr}) as (column_name, completeness)"
     ).select(*cols)
+
+
+def profile_panel_data(df: DataFrame, column: str, top_n: int = 10,
+                       bottom_n: int = 10
+                       ) -> tuple[list[dict], list[dict], list[dict]]:
+    """Driver-sized payloads for one column of the profiler chart
+    (reference profile_data.py:82-203): the value-frequency percentile
+    distribution AGGREGATED BY distinct frequency (rows bounded by the
+    number of distinct value counts, never by column cardinality), plus
+    top-n / bottom-n values by count. One groupBy pass per panel set."""
+    counts = df.where(F.col(column).isNotNull()) \
+        .groupBy(F.col(column).cast("string").alias("value")) \
+        .agg(F.count(F.lit(1)).alias("value_count"))
+    counts = counts.persist()
+    try:
+        totals_row = df.agg(
+            F.count(F.lit(1)).alias("total_rows_inc_nulls"),
+            F.count(column).alias("total_non_null_rows"),
+        ).collect()[0]
+        n_distinct = counts.count()
+        # one row per distinct frequency: how many values and what share of
+        # non-null ROWS sit at or below that frequency
+        freq = counts.groupBy("value_count").agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum("value_count").alias("n_rows"))
+        w = Window.orderBy("value_count") \
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        total_nn = float(totals_row["total_non_null_rows"] or 0)
+        percentile = [
+            {**r.asDict(),
+             "total_rows_inc_nulls": totals_row["total_rows_inc_nulls"],
+             "total_non_null_rows": totals_row["total_non_null_rows"],
+             "distinct_value_count": n_distinct}
+            for r in freq.select(
+                "value_count", "n_values",
+                (F.sum("n_rows").over(w) / F.lit(max(total_nn, 1.0)))
+                .alias("percentile_ex_nulls"),
+            ).orderBy("value_count").collect()
+        ]
+        top = [r.asDict() for r in counts.orderBy(
+            F.desc("value_count"), F.asc("value")).limit(top_n).collect()]
+        bottom = [r.asDict() for r in counts.orderBy(
+            F.asc("value_count"), F.asc("value")).limit(bottom_n).collect()]
+        return percentile, top, bottom
+    finally:
+        counts.unpersist()

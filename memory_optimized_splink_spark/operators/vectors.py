@@ -64,14 +64,15 @@ def phonetic_requirements(settings: Settings) -> list[tuple[str, str, bool]]:
     per-string state-machine UDF never runs per pair."""
     out: list[tuple[str, str, bool]] = []
     for comp in settings.comparisons:
-        for lv in comp.levels:
-            if lv.kind in ("dmetaphone", "dmetaphone_alt"):
-                c = lv.column or comp.column
-                if (c, f"dm_{c}", False) not in out:
-                    out.append((c, f"dm_{c}", False))
-                if lv.kind == "dmetaphone_alt" and \
-                        (c, f"dmalt_{c}", True) not in out:
-                    out.append((c, f"dmalt_{c}", True))
+        for top in comp.levels:
+            for lv in top.walk():
+                if lv.kind in ("dmetaphone", "dmetaphone_alt"):
+                    c = lv.column or comp.column
+                    if (c, f"dm_{c}", False) not in out:
+                        out.append((c, f"dm_{c}", False))
+                    if lv.kind == "dmetaphone_alt" and \
+                            (c, f"dmalt_{c}", True) not in out:
+                        out.append((c, f"dmalt_{c}", True))
     return out
 
 
@@ -94,21 +95,22 @@ def columns_needed(settings: Settings) -> list[str]:
     for _, derived, _ in phonetic_requirements(settings):
         cols.append(derived)
     for comp in settings.comparisons:
-        for lv in comp.levels:
-            c = lv.column or comp.column
-            if c and c not in cols:
-                cols.append(c)
-            for extra in (lv.column2, lv.lat_column, lv.long_column):
-                if extra and extra not in cols:
-                    cols.append(extra)
-            if lv.tf_adjustment:
-                tf = f"tf_{lv.column or comp.column}"
-                if tf not in cols:
-                    cols.append(tf)
-            if lv.sql_condition:
-                # custom SQL references <col>_l/_r; caller ensures the bare
-                # columns are listed via comp.column or lv.column
-                pass
+        for top in comp.levels:
+            for lv in top.walk():
+                c = lv.column or comp.column
+                if c and c not in cols:
+                    cols.append(c)
+                for extra in (lv.column2, lv.lat_column, lv.long_column):
+                    if extra and extra not in cols:
+                        cols.append(extra)
+                if lv.tf_adjustment:
+                    tf = f"tf_{lv.column or comp.column}"
+                    if tf not in cols:
+                        cols.append(tf)
+                if lv.sql_condition:
+                    # custom SQL references <col>_l/_r; caller ensures the
+                    # bare columns are listed via comp.column or lv.column
+                    pass
     for c in settings.additional_columns_to_retain:
         if c not in cols:
             cols.append(c)
@@ -239,8 +241,10 @@ def with_comparison_metrics(df: DataFrame, settings: Settings,
     seen: set[str] = set()
     needs_python = False
     for comp in settings.comparisons:
-        for lv in comp.levels:
-            if lv.kind in _METRIC_KINDS:
+        for top in comp.levels:
+            for lv in top.walk():  # sub levels of And/Or/Not need metrics too
+                if lv.kind not in _METRIC_KINDS:
+                    continue
                 c = lv.column or comp.column
                 name = _metric_col(comp, lv.kind, c)
                 if name in seen:
@@ -295,6 +299,23 @@ def with_comparison_metrics(df: DataFrame, settings: Settings,
 
 
 def _level_condition(comp: Comparison, lv: ComparisonLevel) -> Column:
+    # composed levels (reference comparison_level_composition.py And/Or/
+    # Not): combine the sub levels' conditions — each sub condition stays
+    # a native Column expr, so composition costs nothing at plan time
+    if lv.kind == "and":
+        out = None
+        for s in lv.sub_levels:
+            cond = _level_condition(comp, s)
+            out = cond if out is None else out & cond
+        return out
+    if lv.kind == "or":
+        out = None
+        for s in lv.sub_levels:
+            cond = _level_condition(comp, s)
+            out = cond if out is None else out | cond
+        return out
+    if lv.kind == "not":
+        return ~_level_condition(comp, lv.sub_levels[0])
     c = lv.column or comp.column
     l, r = (F.col(f"{c}_l"), F.col(f"{c}_r")) if c else (None, None)
     if lv.kind == "null":
@@ -390,7 +411,8 @@ def gamma_column(comp: Comparison) -> Column:
 
 def needs_python_metrics(settings: Settings) -> bool:
     return any(lv.kind in _PYTHON_METRIC_KINDS
-               for comp in settings.comparisons for lv in comp.levels)
+               for comp in settings.comparisons
+               for top in comp.levels for lv in top.walk())
 
 
 def compute_comparison_vectors(

@@ -94,7 +94,8 @@ class LocalScorer:
                  n_records: dict | float | None = None):
         self.settings = apply_only_help(settings.with_defaults())
         unsupported = sorted({
-            lv.kind for c in self.settings.comparisons for lv in c.levels
+            lv.kind for c in self.settings.comparisons
+            for top in c.levels for lv in top.walk()
             if lv.kind in _UNSUPPORTED_KINDS
         })
         if unsupported:
@@ -107,9 +108,23 @@ class LocalScorer:
 
     # ------------------------------------------------------------- levels
     def _level_matches(self, comp, lv, rec_l: dict, rec_r: dict) -> bool:
+        k = lv.kind
+        # composed levels dispatch before any column access — sub levels
+        # carry their own columns (comparison_level_composition.py)
+        if k == "and":
+            return all(self._level_matches(comp, s, rec_l, rec_r)
+                       for s in lv.sub_levels)
+        if k == "or":
+            return any(self._level_matches(comp, s, rec_l, rec_r)
+                       for s in lv.sub_levels)
+        if k == "not":
+            return not self._level_matches(comp, lv.sub_levels[0],
+                                           rec_l, rec_r)
+        if k == "null":
+            c = lv.column or comp.column
+            return rec_l.get(c) is None or rec_r.get(c) is None
         c = lv.column or comp.column
         l, r = rec_l.get(c), rec_r.get(c)
-        k = lv.kind
         if k == "exact":
             return l is not None and r is not None and l == r
         if k == "literal":
@@ -193,10 +208,9 @@ class LocalScorer:
 
     def gamma(self, comp, rec_l: dict, rec_r: dict) -> int:
         null_lv = comp.null_level
-        if null_lv is not None:
-            c = null_lv.column or comp.column
-            if rec_l.get(c) is None or rec_r.get(c) is None:
-                return -1
+        if null_lv is not None and \
+                self._level_matches(comp, null_lv, rec_l, rec_r):
+            return -1
         for g, lv in comp.graded_levels:
             if lv.kind == "else":
                 continue

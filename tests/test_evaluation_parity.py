@@ -287,3 +287,32 @@ def test_accuracy_metrics_vs_duckdb(spark, repo_nodes, basic_settings,
     for m in ACCURACY_METRICS:
         for a, b in zip(ours[m], got[m]):
             assert a == pytest.approx(b, abs=1e-12), m
+
+
+def test_profile_columns_chart(spark):
+    """Golden check of the profiler panels on a hand-built frame."""
+    from memory_optimized_splink_spark.exploratory import profile_columns
+
+    rows = ([{"name": "aa", "city": "x"}] * 4
+            + [{"name": "bb", "city": "x"}] * 2
+            + [{"name": "cc", "city": "x"}]
+            + [{"name": None, "city": "x"}])
+    spec = profile_columns(spark.createDataFrame(rows), columns=["name"],
+                           top_n=2, bottom_n=2)
+    assert len(spec["vconcat"]) == 1
+    dist, top, bottom = spec["vconcat"][0]["hconcat"]
+    # percentile rows: one per distinct frequency (1, 2, 4)
+    pct = {r["value_count"]: r for r in dist["data"]["values"]}
+    assert set(pct) == {1, 2, 4}
+    assert pct[1]["n_values"] == 1
+    assert pct[1]["total_rows_inc_nulls"] == 8
+    assert pct[1]["total_non_null_rows"] == 7
+    assert pct[1]["distinct_value_count"] == 3
+    # cumulative non-null row share: 1/7, then (1+2)/7, then 7/7
+    assert pct[1]["percentile_ex_nulls"] == pytest.approx(1 / 7)
+    assert pct[2]["percentile_ex_nulls"] == pytest.approx(3 / 7)
+    assert pct[4]["percentile_ex_nulls"] == pytest.approx(1.0)
+    assert [r["value"] for r in top["data"]["values"]] == ["aa", "bb"]
+    assert [r["value"] for r in bottom["data"]["values"]] == ["cc", "bb"]
+    # bottom panel y-domain pinned to the top count (reference parity)
+    assert bottom["encoding"]["y"]["scale"]["domain"] == [0, 4]
