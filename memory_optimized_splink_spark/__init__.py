@@ -3,7 +3,8 @@ record-linkage engine with the query/data-processing capabilities of
 DonorAtlas/memory-optimized-splink (Splink 4.0.7 fork), re-expressed
 Spark-first. See SURVEY.md for the semantic map into the reference."""
 
-from .linker import SparkLinker
+from .comparison_library import And, Not, Or
+from .linker import GraphMetricsResults, SparkLinker
 from .model import (
     BlockingRule,
     Comparison,
@@ -16,4 +17,5 @@ from .session import get_spark
 __all__ = [
     "SparkLinker", "Settings", "Comparison", "ComparisonLevel",
     "BlockingRule", "block_on", "get_spark",
+    "And", "Or", "Not", "GraphMetricsResults",
 ]
