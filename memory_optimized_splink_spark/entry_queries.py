@@ -1510,3 +1510,282 @@ def q_near_dedup(spark, sf_dir):
         load(spark, sf_dir, "documents"), "doc_id", "text",
         jaccard_threshold=0.8, shingle_k=_MH_K,
         candidate_fn=_poly31_lsh_pairs)
+
+
+# --- §2.7 tail: geo / temporal / numeric / array / reversed levels -----------
+# These put the comparison-level kinds that previously had only pytest
+# coverage (distance_in_km, date_diff_seconds, abs_diff, pct_diff,
+# array_intersect, array_subset, pairwise_levenshtein, columns_reversed,
+# literal) behind the DuckDB oracle gate, through the REAL operator path
+# (block_using_rules -> compute_comparison_vectors), on deterministically
+# derived columns. Reference: comparison_level_library.py:356-396 (reversed),
+# 598-692 (pairwise lev), 812-864 (haversine), 946-985 (array subset).
+#
+# distance_in_km thresholds are mid-gap for the WHOLE 37x53 coordinate
+# lattice (nearest attainable distances: 1998.77 / 2000.28 around 2000 km
+# and 4999.93 / 5000.45 around 5000 km — verified over all lattice pairs),
+# so a trig-library ulp difference between the JVM and DuckDB can never
+# flip a gamma.
+
+def rich_nodes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nodes_df + deterministic geo/time/numeric/array/name columns."""
+    d = F.col("doc_id")
+    return nodes_df(spark, sf_dir).withColumns({
+        "lat": ((d % 37) * 2 - 36).cast("double"),
+        "lon": ((d % 53) * 3 - 78).cast("double"),
+        "event_ts": F.timestamp_seconds(F.lit(1577836800) + (d % 1000) * 7200),
+        "content_size": F.length("content"),
+        "path_tokens": F.split("path", "/"),
+        "first_name": F.concat(F.lit("p"), (d % 11).cast("string")),
+        "last_name": F.concat(F.lit("p"), (d % 13).cast("string")),
+        "aliases": F.array(
+            F.concat(F.lit("doc"), (d % 997).cast("string")),
+            F.concat(F.lit("d"), (d % 31).cast("string"))),
+    })
+
+
+RICH_PAIRS_CTE = RF_CTE + """,
+rich AS (
+  SELECT nodes.*,
+    CAST((doc_id % 37) * 2 - 36 AS DOUBLE) AS lat,
+    CAST((doc_id % 53) * 3 - 78 AS DOUBLE) AS lon,
+    to_timestamp(1577836800 + (doc_id % 1000) * 7200) AS event_ts,
+    length(content) AS content_size,
+    string_split(path, '/') AS path_tokens,
+    'p' || CAST(doc_id % 11 AS VARCHAR) AS first_name,
+    'p' || CAST(doc_id % 13 AS VARCHAR) AS last_name,
+    ['doc' || CAST(doc_id % 997 AS VARCHAR),
+     'd' || CAST(doc_id % 31 AS VARCHAR)] AS aliases
+  FROM nodes
+),
+rpairs AS (
+  SELECT '0' AS match_key,
+    l.unique_id AS unique_id_l, r.unique_id AS unique_id_r,
+    l.lat AS lat_l, r.lat AS lat_r, l.lon AS lon_l, r.lon AS lon_r,
+    l.event_ts AS ts_l, r.event_ts AS ts_r,
+    l.content_size AS sz_l, r.content_size AS sz_r,
+    l.path_tokens AS tok_l, r.path_tokens AS tok_r,
+    l.first_name AS fn_l, r.first_name AS fn_r,
+    l.last_name AS ln_l, r.last_name AS ln_r,
+    l.aliases AS al_l, r.aliases AS al_r,
+    l.path AS path_l, r.path AS path_r
+  FROM rich l JOIN rich r ON l.repo = r.repo
+  WHERE l.unique_id < r.unique_id
+)
+"""
+
+_HAVERSINE_SQL = ("2*6371.0*asin(sqrt(pow(sin(radians(lat_r-lat_l)/2),2)"
+                  " + cos(radians(lat_l))*cos(radians(lat_r))"
+                  "*pow(sin(radians(lon_r-lon_l)/2),2)))")
+
+
+def _rich_settings_geo() -> Settings:
+    return Settings(
+        comparisons=(
+            Comparison("geo", None, (
+                ComparisonLevel("null", column="lat"),
+                ComparisonLevel("distance_in_km", threshold=2000.0,
+                                lat_column="lat", long_column="lon"),
+                ComparisonLevel("distance_in_km", threshold=5000.0,
+                                lat_column="lat", long_column="lon"),
+                ComparisonLevel("else"),
+            )),
+            Comparison("event_ts", "event_ts", (
+                ComparisonLevel("null"),
+                ComparisonLevel("date_diff_seconds", threshold=86400),
+                ComparisonLevel("date_diff_seconds", threshold=2592000),
+                ComparisonLevel("else"),
+            )),
+            Comparison("size", "content_size", (
+                ComparisonLevel("null"),
+                ComparisonLevel("abs_diff", threshold=10),
+                ComparisonLevel("pct_diff", threshold=0.3),
+                ComparisonLevel("else"),
+            )),
+        ),
+        blocking_rules=(block_on("repo"),),
+        probability_two_random_records_match=PRIOR,
+    )
+
+
+@q("geo_time_numeric_vectors",
+   f"""WITH {RICH_PAIRS_CTE}
+SELECT match_key, unique_id_l, unique_id_r,
+  CASE WHEN lat_l IS NULL OR lat_r IS NULL THEN -1
+       WHEN {_HAVERSINE_SQL} <= 2000.0 THEN 2
+       WHEN {_HAVERSINE_SQL} <= 5000.0 THEN 1
+       ELSE 0 END AS gamma_geo,
+  CASE WHEN ts_l IS NULL OR ts_r IS NULL THEN -1
+       WHEN abs(epoch(ts_l) - epoch(ts_r)) <= 86400 THEN 2
+       WHEN abs(epoch(ts_l) - epoch(ts_r)) <= 2592000 THEN 1
+       ELSE 0 END AS gamma_event_ts,
+  CASE WHEN sz_l IS NULL OR sz_r IS NULL THEN -1
+       WHEN abs(sz_l - sz_r) <= 10 THEN 2
+       WHEN abs(sz_l - sz_r) / greatest(sz_l, sz_r) < 0.3 THEN 1
+       ELSE 0 END AS gamma_size
+FROM rpairs""")
+def q_geo_time_numeric_vectors(spark, sf_dir):
+    """DistanceInKM / AbsoluteTimeDifference / AbsoluteDifference /
+    PercentageDifference gamma ladders through the real blocking+vectors
+    operators (comparison_level_library.py:812-864, 1040-1105)."""
+    s = _rich_settings_geo()
+    nodes = rich_nodes_df(spark, sf_dir)
+    pairs = block_using_rules(nodes, s)
+    return compute_comparison_vectors(pairs, nodes, s).select(
+        "match_key", "unique_id_l", "unique_id_r",
+        "gamma_geo", "gamma_event_ts", "gamma_size")
+
+
+def _rich_settings_arrays() -> Settings:
+    return Settings(
+        comparisons=(
+            Comparison("tokens", "path_tokens", (
+                ComparisonLevel("null"),
+                ComparisonLevel("array_subset"),
+                ComparisonLevel("array_intersect", threshold=2),
+                ComparisonLevel("else"),
+            )),
+            Comparison("name", "first_name", (
+                ComparisonLevel("null"),
+                ComparisonLevel("literal", literal="p3"),
+                ComparisonLevel("exact"),
+                ComparisonLevel("columns_reversed", column2="last_name"),
+                ComparisonLevel("else"),
+            )),
+            Comparison("aliases", "aliases", (
+                ComparisonLevel("null"),
+                ComparisonLevel("pairwise_levenshtein", threshold=1),
+                ComparisonLevel("pairwise_levenshtein", threshold=3),
+                ComparisonLevel("else"),
+            )),
+            Comparison("qgram", "path", (
+                ComparisonLevel("null"),
+                ComparisonLevel("qgram_jaccard", threshold=0.7),
+                ComparisonLevel("qgram_jaccard", threshold=0.4),
+                ComparisonLevel("else"),
+            )),
+        ),
+        blocking_rules=(block_on("repo"),),
+        probability_two_random_records_match=PRIOR,
+    )
+
+
+_PW_LEV_SQL = ("list_min(flatten(list_transform(al_l, "
+               "x -> list_transform(al_r, y -> levenshtein(x, y)))))")
+
+# 2-gram token sets, the qgram_tokenise expression replayed in DuckDB
+# (lowercase, substr windows 1..max(len-1,1), distinct)
+_QG_SQL = ("list_distinct([substring(lower({c}), i, 2) for i in "
+           "range(1, greatest(length({c}) - 1, 1) + 1)])")
+_QG_JACCARD_SQL = (
+    "(CAST(len(list_intersect({l}, {r})) AS DOUBLE)"
+    " / len(list_distinct({l} || {r})))"
+).format(l=_QG_SQL.format(c="path_l"), r=_QG_SQL.format(c="path_r"))
+
+
+@q("array_name_vectors",
+   f"""WITH {RICH_PAIRS_CTE}
+SELECT match_key, unique_id_l, unique_id_r,
+  CASE WHEN tok_l IS NULL OR tok_r IS NULL THEN -1
+       WHEN len(tok_l) > 0 AND len(tok_r) > 0
+            AND len(list_intersect(tok_l, tok_r))
+                = least(len(tok_l), len(tok_r)) THEN 2
+       WHEN len(list_intersect(tok_l, tok_r)) >= 2 THEN 1
+       ELSE 0 END AS gamma_tokens,
+  CASE WHEN fn_l IS NULL OR fn_r IS NULL THEN -1
+       WHEN fn_l = 'p3' AND fn_r = 'p3' THEN 3
+       WHEN fn_l = fn_r THEN 2
+       WHEN fn_l = ln_r AND ln_l = fn_r THEN 1
+       ELSE 0 END AS gamma_name,
+  CASE WHEN al_l IS NULL OR al_r IS NULL THEN -1
+       WHEN {_PW_LEV_SQL} <= 1 THEN 2
+       WHEN {_PW_LEV_SQL} <= 3 THEN 1
+       ELSE 0 END AS gamma_aliases,
+  CASE WHEN path_l IS NULL OR path_r IS NULL THEN -1
+       WHEN {_QG_JACCARD_SQL} >= 0.7 THEN 2
+       WHEN {_QG_JACCARD_SQL} >= 0.4 THEN 1
+       ELSE 0 END AS gamma_qgram
+FROM rpairs""")
+def q_array_name_vectors(spark, sf_dir):
+    """ArraySubset / ArrayIntersect / Literal / ColumnsReversed /
+    PairwiseStringDistance / QgramJaccard gamma ladders through the real
+    operators (comparison_level_library.py:356-396, 598-692, 946-985;
+    QgramTokeniser jar_location.py:58)."""
+    s = _rich_settings_arrays()
+    nodes = rich_nodes_df(spark, sf_dir)
+    pairs = block_using_rules(nodes, s)
+    return compute_comparison_vectors(pairs, nodes, s).select(
+        "match_key", "unique_id_l", "unique_id_r",
+        "gamma_tokens", "gamma_name", "gamma_aliases", "gamma_qgram")
+
+
+# --- §2.9: one EM iteration at the oracle gate -------------------------------
+# The E-step/M-step algebra (train._e_step/_m_step, reference
+# expectation_maximisation.py) replayed in pure SQL over the agreement
+# patterns: p = bf/(1+bf) per pattern from the STARTING m/u, new lambda =
+# sum(p*cnt)/sum(cnt), new m_k/u_k = level-share of the (non-null)
+# match/unmatch mass, floored at LEVEL_NOT_OBSERVED (1e-6) exactly like the
+# numpy M-step. Every (comparison, gamma) row is emitted even when
+# unobserved via a static VALUES spine.
+
+def _em_iter_sql() -> str:
+    prior_odds = PRIOR / (1 - PRIOR)
+    spine = ", ".join(
+        f"('{comp}', {g})" for comp in M_U for g in sorted(M_U[comp], reverse=True))
+    return f"""WITH {CV_CTE},
+pats AS (
+  SELECT gamma_content_sha, gamma_path, CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM cv GROUP BY 1, 2
+),
+pp AS (
+  SELECT *, bf / (1 + bf) AS p FROM (
+    SELECT *, CAST({prior_odds!r} AS DOUBLE)
+      * {_bf_case("content_sha")} * {_bf_case("path")} AS bf
+    FROM pats)
+),
+lam AS (SELECT SUM(p * cnt) / SUM(cnt) AS l FROM pp),
+spine(comparison, gamma_value) AS (VALUES {spine}),
+obs AS (
+  SELECT 'content_sha' AS comparison, gamma_content_sha AS gamma_value,
+         SUM(p * cnt) AS pm, SUM((1 - p) * cnt) AS pu
+  FROM pp WHERE gamma_content_sha >= 0 GROUP BY gamma_content_sha
+  UNION ALL
+  SELECT 'path', gamma_path, SUM(p * cnt), SUM((1 - p) * cnt)
+  FROM pp WHERE gamma_path >= 0 GROUP BY gamma_path
+),
+tot AS (
+  SELECT comparison, SUM(pm) AS m_tot, SUM(pu) AS u_tot
+  FROM obs GROUP BY comparison
+)
+SELECT s.comparison, s.gamma_value,
+  ROUND(GREATEST(COALESCE(o.pm, 0) / t.m_tot, 1e-6), 6) AS m,
+  ROUND(GREATEST(COALESCE(o.pu, 0) / t.u_tot, 1e-6), 6) AS u,
+  ROUND((SELECT l FROM lam), 6) AS new_lambda
+FROM spine s
+JOIN tot t ON t.comparison = s.comparison
+LEFT JOIN obs o ON o.comparison = s.comparison
+               AND o.gamma_value = s.gamma_value"""
+
+
+@q("em_one_iteration", _em_iter_sql())
+def q_em_one_iteration(spark, sf_dir):
+    """One full EM iteration (distributed agreement-pattern aggregation +
+    driver-side E/M step, train.py expectation_maximisation) with the
+    resulting m/u/lambda checked against a pure-SQL replay of the same
+    algebra (reference expectation_maximisation.py)."""
+    from .train import agreement_pattern_counts, expectation_maximisation
+    s = entry_settings()
+    pairs, nodes, _ = _spark_pairs(spark, sf_dir)
+    cv = compute_comparison_vectors(pairs, nodes, s)
+    pats = agreement_pattern_counts(cv, list(s.comparisons))
+    comps, lam, _ = expectation_maximisation(
+        pats, list(s.comparisons), PRIOR, max_iterations=1)
+    rows = []
+    for comp in comps:
+        for gamma, lv in comp.graded_levels:
+            rows.append((comp.name, gamma, round(float(lv.m), 6),
+                         round(float(lv.u), 6), round(float(lam), 6)))
+    return spark.createDataFrame(
+        rows,
+        "comparison string, gamma_value int, m double, u double, "
+        "new_lambda double")

@@ -357,3 +357,15 @@ def test_cc_idmap_compaction_joins_are_broadcast(spark):
         assert m.count() == m0.count() == 500
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_geo_array_gamma_ladders_stay_jvm_side(spark):
+    """The new level kinds (distance_in_km, date_diff_seconds, abs/pct
+    diff, array_intersect/subset, columns_reversed, literal,
+    pairwise_levenshtein, qgram_jaccard) are all native Column exprs —
+    the comparison-vector plans must contain NO Python eval stage."""
+    for fn in (EQ.q_geo_time_numeric_vectors, EQ.q_array_name_vectors):
+        plan = _plan(fn(spark, SF))
+        assert "ArrowEvalPython" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "CartesianProduct" not in plan
