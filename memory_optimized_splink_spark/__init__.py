@@ -13,9 +13,10 @@ from .model import (
     block_on,
 )
 from .session import get_spark
+from .settings_creator import SettingsCreator
 
 __all__ = [
-    "SparkLinker", "Settings", "Comparison", "ComparisonLevel",
-    "BlockingRule", "block_on", "get_spark",
+    "SparkLinker", "Settings", "SettingsCreator", "Comparison",
+    "ComparisonLevel", "BlockingRule", "block_on", "get_spark",
     "And", "Or", "Not", "GraphMetricsResults",
 ]

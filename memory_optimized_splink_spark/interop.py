@@ -259,6 +259,24 @@ def _parse_blocking_rule(d: dict | str) -> BlockingRule:
     return BlockingRule(sql=_translate_sql(stripped, dialect), label=sql[:60])
 
 
+def parse_comparison_dict(c: dict, dialect: str = "duckdb"
+                          ) -> tuple[Comparison, list[str]]:
+    """One reference comparison dict -> (Comparison, tf columns used).
+    Shared by the full-settings importer and SettingsCreator's dict-form
+    comparisons (reference settings_creator.py:27 accepts raw dicts)."""
+    levels = [_parse_level(lv, dialect) for lv in c["comparison_levels"]]
+    name = c.get("output_column_name") or c.get("column_name")
+    if not name:
+        raise UnsupportedSettingsError(
+            f"comparison without output_column_name: {c}")
+    col = _infer_column(levels, name)
+    # backfill level columns from the comparison column so native kinds
+    # resolve (our _level_condition uses lv.column or comp.column)
+    tf_cols = [lv.column or col for lv in levels
+               if lv.tf_adjustment and (lv.column or col)]
+    return Comparison(name=name, column=col, levels=tuple(levels)), tf_cols
+
+
 def settings_from_splink_dict(d: dict, tf_style: str = "fork_count"
                               ) -> Settings:
     """Map a reference `Settings.as_dict()` / saved model.json dict onto
@@ -268,19 +286,9 @@ def settings_from_splink_dict(d: dict, tf_style: str = "fork_count"
     comparisons = []
     tf_columns: list[str] = []
     for c in d.get("comparisons", ()):
-        levels = [_parse_level(lv, dialect) for lv in c["comparison_levels"]]
-        name = c.get("output_column_name") or c.get("column_name")
-        if not name:
-            raise UnsupportedSettingsError(
-                f"comparison without output_column_name: {c}")
-        col = _infer_column(levels, name)
-        # backfill level columns from the comparison column so native kinds
-        # resolve (our _level_condition uses lv.column or comp.column)
-        comparisons.append(Comparison(
-            name=name, column=col, levels=tuple(levels)))
-        for lv in levels:
-            if lv.tf_adjustment and (lv.column or col):
-                tf_columns.append(lv.column or col)
+        comp, comp_tf = parse_comparison_dict(c, dialect)
+        comparisons.append(comp)
+        tf_columns.extend(comp_tf)
     rules = tuple(_parse_blocking_rule(b)
                   for b in d.get("blocking_rules_to_generate_predictions",
                                  ()))
@@ -299,6 +307,8 @@ def settings_from_splink_dict(d: dict, tf_style: str = "fork_count"
         max_iterations=int(d.get("max_iterations", 25)),
         retain_matching_columns=bool(d.get("retain_matching_columns",
                                            False)),
+        retain_intermediate_calculation_columns=bool(
+            d.get("retain_intermediate_calculation_columns", False)),
         additional_columns_to_retain=tuple(
             d.get("additional_columns_to_retain", ())),
         tf_columns=tuple(dict.fromkeys(tf_columns)),
@@ -382,6 +392,8 @@ def settings_to_splink_dict(s: Settings) -> dict:
         "probability_two_random_records_match":
             s.probability_two_random_records_match,
         "retain_matching_columns": s.retain_matching_columns,
+        "retain_intermediate_calculation_columns":
+            s.retain_intermediate_calculation_columns,
         "additional_columns_to_retain":
             list(s.additional_columns_to_retain),
         "sql_dialect": "spark",

@@ -42,7 +42,7 @@ class SparkLinker:
         self,
         spark: SparkSession,
         input_table: DataFrame,
-        settings: Settings,
+        settings: "Settings | SettingsCreator | dict | str",
         checkpoint_dir: str | None = None,
         enable_checkpoints: bool = False,
     ):
@@ -52,7 +52,10 @@ class SparkLinker:
         # registration (spark/database_api.py:166-190); idempotent
         from .functions.similarity import register_udfs
         register_udfs(spark)
-        self.settings = settings.with_defaults()
+        # accept every settings form the reference Linker does
+        # (reference linker.py:75,143-146: SettingsCreator | dict | path)
+        from .settings_creator import resolve_settings
+        self.settings = resolve_settings(settings).with_defaults()
         # fail fast on missing columns (reference linker.py:316-334)
         self.settings.validate_against(input_table.columns)
         self._input = input_table
@@ -167,6 +170,8 @@ class SparkLinker:
                 cv2, self.settings, n_records=n_records,
                 threshold_match_probability=threshold_match_probability,
                 threshold_match_weight=threshold_match_weight,
+                keep_bf_columns=(
+                    self.settings.retain_intermediate_calculation_columns),
             )
 
         return self.registry.stage(

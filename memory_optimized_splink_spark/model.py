@@ -199,6 +199,9 @@ class Settings:
     em_convergence: float = 1e-4
     max_iterations: int = 25
     retain_matching_columns: bool = False
+    # keep the per-comparison bf_* / tf-multiplier columns in predict
+    # output (reference settings.py retain_intermediate_calculation_columns)
+    retain_intermediate_calculation_columns: bool = False
     # "fork_count": N/tf count formulas (the fork's predict,
     #   comparison_level.py:682-744); "upstream_ratio": (u/tf)^weight
     #   (upstream Splink / Splink-2 golden semantics)
