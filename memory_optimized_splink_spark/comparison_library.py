@@ -200,3 +200,308 @@ def Not(level: ComparisonLevel, **attrs) -> ComparisonLevel:
     comparison_level_composition.py:84-106); never a null level, even when
     the negated level is."""
     return ComparisonLevel("not", sub_levels=(level,), **attrs)
+
+
+# ===================== reference creator-class aliases =====================
+# The reference's user-facing comparison API is PascalCase creator classes
+# (comparison_library.py:14-1193: ExactMatch, LevenshteinAtThresholds, ...)
+# with reference argument names, plus .configure(term_frequency_adjustments/
+# m_probabilities/u_probabilities) — implemented here as factories returning
+# model.Comparison (which carries .configure), so a migrating user's
+# `import ... as cl; cl.ExactMatch("city").configure(...)` runs unchanged.
+
+def _iter(x):
+    return list(x) if isinstance(x, (list, tuple)) else [x]
+
+
+# reference comparison_level_library.py:757-766 conversion factors
+TIME_METRIC_SECONDS = {
+    "second": 1.0, "minute": 60.0, "hour": 3600.0, "day": 86400.0,
+    "month": 86400.0 * 365.25 / 12, "year": 86400.0 * 365.25,
+}
+
+
+def _metric_seconds(threshold: float, metric: str) -> float:
+    if metric not in TIME_METRIC_SECONDS:
+        raise ValueError(
+            f"metric must be one of {sorted(TIME_METRIC_SECONDS)}, "
+            f"got {metric!r}")
+    return float(threshold) * TIME_METRIC_SECONDS[metric]
+
+
+def ExactMatch(col_name: str) -> Comparison:
+    return exact_match(col_name)
+
+
+def LevenshteinAtThresholds(
+        col_name: str, distance_threshold_or_thresholds=(1, 2)) -> Comparison:
+    return levenshtein_at_thresholds(
+        col_name, _iter(distance_threshold_or_thresholds))
+
+
+def DamerauLevenshteinAtThresholds(
+        col_name: str, distance_threshold_or_thresholds=(1, 2)) -> Comparison:
+    return damerau_levenshtein_at_thresholds(
+        col_name, _iter(distance_threshold_or_thresholds))
+
+
+def JaccardAtThresholds(
+        col_name: str, score_threshold_or_thresholds=(0.9, 0.7)) -> Comparison:
+    return jaccard_at_thresholds(
+        col_name, _iter(score_threshold_or_thresholds))
+
+
+def JaroAtThresholds(
+        col_name: str, score_threshold_or_thresholds=(0.9, 0.7)) -> Comparison:
+    return jaro_at_thresholds(col_name, _iter(score_threshold_or_thresholds))
+
+
+def JaroWinklerAtThresholds(
+        col_name: str, score_threshold_or_thresholds=(0.9, 0.7)) -> Comparison:
+    return jaro_winkler_at_thresholds(
+        col_name, _iter(score_threshold_or_thresholds))
+
+
+def CosineSimilarityAtThresholds(
+        col_name: str, score_threshold_or_thresholds=(0.9,)) -> Comparison:
+    return cosine_similarity_at_thresholds(
+        col_name, _iter(score_threshold_or_thresholds))
+
+
+def ArrayIntersectAtSizes(
+        col_name: str, size_threshold_or_thresholds=(1,)) -> Comparison:
+    return array_intersect_at_sizes(
+        col_name, _iter(size_threshold_or_thresholds))
+
+
+def DistanceInKMAtThresholds(lat_col: str, long_col: str,
+                             km_thresholds) -> Comparison:
+    return distance_in_km_at_thresholds(lat_col, long_col,
+                                        _iter(km_thresholds))
+
+
+def DistanceFunctionAtThresholds(
+        col_name: str, distance_function_name: str,
+        distance_threshold_or_thresholds,
+        higher_is_more_similar: bool = True) -> Comparison:
+    """Exact + custom `fn(l, r) >= t` (or <= t) levels + else (reference
+    comparison_library.py:287). The function must be callable in Spark SQL
+    (builtin or a registered UDF — this engine registers jaro_winkler,
+    jaro_sim, damerau_levenshtein, cosine_similarity)."""
+    op = ">=" if higher_is_more_similar else "<="
+    levels = [_null(), ComparisonLevel("exact")]
+    for t in _iter(distance_threshold_or_thresholds):
+        levels.append(ComparisonLevel(
+            "custom", label=f"{distance_function_name}_{op}_{t}",
+            sql_condition=(f"{distance_function_name}({col_name}_l, "
+                           f"{col_name}_r) {op} {t}")))
+    levels.append(_else())
+    return Comparison(col_name, col_name, tuple(levels))
+
+
+def PairwiseStringDistanceFunctionAtThresholds(
+        col_name: str, distance_function_name: str,
+        distance_threshold_or_thresholds) -> Comparison:
+    """Best cross-product string metric over array<string> columns at
+    graded thresholds (reference comparison_library.py:348): exact array
+    match first, then pairwise levels."""
+    kinds = {"levenshtein": "pairwise_levenshtein",
+             "damerau_levenshtein": "pairwise_damerau_levenshtein",
+             "jaro": "pairwise_jaro",
+             "jaro_winkler": "pairwise_jaro_winkler"}
+    if distance_function_name not in kinds:
+        raise ValueError(
+            f"distance_function_name must be one of {sorted(kinds)}, "
+            f"got {distance_function_name!r}")
+    levels = [_null(), ComparisonLevel("exact")]
+    for t in _iter(distance_threshold_or_thresholds):
+        levels.append(ComparisonLevel(kinds[distance_function_name],
+                                      threshold=t))
+    levels.append(_else())
+    return Comparison(col_name, col_name, tuple(levels))
+
+
+def _time_difference_comparison(col_name: str, *, input_is_string: bool,
+                                metrics, thresholds,
+                                datetime_format: str | None,
+                                term_frequency_adjustments: bool,
+                                invalid_dates_as_null: bool) -> Comparison:
+    metrics, thresholds = _iter(metrics), _iter(thresholds)
+    if len(metrics) != len(thresholds):
+        raise ValueError(
+            f"metrics and thresholds must align: {len(metrics)} metrics "
+            f"vs {len(thresholds)} thresholds")
+    seconds = [_metric_seconds(t, m) for t, m in zip(thresholds, metrics)]
+    if sorted(seconds) != seconds:
+        raise ValueError(
+            "thresholds must be in ascending order of elapsed time")
+    if input_is_string:
+        fmt = f", '{datetime_format}'" if datetime_format else ""
+        ts = lambda side: f"try_to_timestamp({col_name}_{side}{fmt})"
+        if invalid_dates_as_null:
+            null_lv = ComparisonLevel(
+                "null", column=col_name, label="invalid_or_null",
+                sql_condition=(f"{ts('l')} IS NULL OR {ts('r')} IS NULL"))
+        else:
+            null_lv = _null()
+        diff_lv = lambda s: ComparisonLevel(
+            "custom", label=f"abs_time_diff_<=_{s:g}s",
+            sql_condition=(f"abs(unix_timestamp({ts('l')}) - "
+                           f"unix_timestamp({ts('r')})) <= {s:g}"))
+    else:
+        null_lv = _null()
+        diff_lv = lambda s: ComparisonLevel("date_diff_seconds", threshold=s)
+    levels = [null_lv,
+              ComparisonLevel("exact",
+                              tf_adjustment=term_frequency_adjustments)]
+    levels += [diff_lv(s) for s in seconds]
+    levels.append(_else())
+    return Comparison(col_name, col_name, tuple(levels))
+
+
+def AbsoluteTimeDifferenceAtThresholds(
+        col_name: str, *, input_is_string: bool, metrics, thresholds,
+        datetime_format: str = None, term_frequency_adjustments: bool = False,
+        invalid_dates_as_null: bool = True) -> Comparison:
+    """Reference comparison_library.py:418: exact + elapsed-time levels."""
+    return _time_difference_comparison(
+        col_name, input_is_string=input_is_string, metrics=metrics,
+        thresholds=thresholds, datetime_format=datetime_format,
+        term_frequency_adjustments=term_frequency_adjustments,
+        invalid_dates_as_null=invalid_dates_as_null)
+
+
+def AbsoluteDateDifferenceAtThresholds(
+        col_name: str, *, input_is_string: bool, metrics, thresholds,
+        datetime_format: str = None, term_frequency_adjustments: bool = False,
+        invalid_dates_as_null: bool = True) -> Comparison:
+    """Reference comparison_library.py:539 (same mechanics over dates)."""
+    return _time_difference_comparison(
+        col_name, input_is_string=input_is_string, metrics=metrics,
+        thresholds=thresholds, datetime_format=datetime_format,
+        term_frequency_adjustments=term_frequency_adjustments,
+        invalid_dates_as_null=invalid_dates_as_null)
+
+
+def CustomComparison(comparison_levels, output_column_name: str = None,
+                     comparison_description: str = None) -> Comparison:
+    """Reference comparison_library.py:645: assemble a comparison from
+    level objects (ours) or reference level dicts (routed through the
+    settings importer's recognise-or-refuse parser)."""
+    levels = []
+    for lv in comparison_levels:
+        if isinstance(lv, ComparisonLevel):
+            levels.append(lv)
+        elif isinstance(lv, dict):
+            from .interop import _parse_level
+            levels.append(_parse_level(lv, lv.get("sql_dialect", "duckdb")))
+        else:
+            raise TypeError(
+                f"comparison level must be a ComparisonLevel or dict, "
+                f"got {type(lv)}")
+    name = output_column_name
+    if not name:
+        cols = [lv.column for lv in levels if lv.column]
+        if not cols:
+            raise ValueError(
+                "output_column_name is required when no level names a "
+                "column")
+        name = cols[0]
+    col = next((lv.column for lv in levels if lv.column), None)
+    return Comparison(name, col, tuple(levels))
+
+
+def DateOfBirthComparison(
+        col_name: str, *, input_is_string: bool,
+        datetime_thresholds=(1, 1, 10),
+        datetime_metrics=("month", "year", "year"),
+        datetime_format: str = None,
+        invalid_dates_as_null: bool = True) -> Comparison:
+    """Reference comparison_library.py:710: exact, day/month-swap, graded
+    absolute date differences, else."""
+    base = _time_difference_comparison(
+        col_name, input_is_string=input_is_string,
+        metrics=datetime_metrics, thresholds=datetime_thresholds,
+        datetime_format=datetime_format, term_frequency_adjustments=False,
+        invalid_dates_as_null=invalid_dates_as_null)
+    # insert the reference's day-month-swap level (substr-swapped ISO dates)
+    # right after exact match
+    col = col_name
+    if input_is_string:
+        swap = ComparisonLevel(
+            "custom", label="day_month_swap",
+            sql_condition=(
+                f"concat(substr({col}_l, 1, 4), '-', "
+                f"substr({col}_l, 9, 2), '-', substr({col}_l, 6, 2)) "
+                f"= {col}_r"))
+    else:
+        swap = ComparisonLevel(
+            "custom", label="day_month_swap",
+            sql_condition=(
+                f"make_date(year({col}_l), day({col}_l), month({col}_l)) "
+                f"= to_date({col}_r)"))
+    levels = list(base.levels)
+    return Comparison(base.name, base.column,
+                      tuple(levels[:2] + [swap] + levels[2:]))
+
+
+def PostcodeComparison(col_name: str = "postcode") -> Comparison:
+    return postcode_comparison(col_name)
+
+
+def EmailComparison(col_name: str = "email") -> Comparison:
+    return email_comparison(col_name)
+
+
+def NameComparison(col_name: str,
+                   jaro_winkler_thresholds=(0.92, 0.88, 0.7),
+                   dmeta_col_name: str = None) -> Comparison:
+    """Reference comparison_library.py:1002: exact + graded JW levels,
+    optionally a double-metaphone level before the loosest JW."""
+    levels = [_null(), ComparisonLevel("exact")]
+    thresholds = _iter(jaro_winkler_thresholds)
+    for i, t in enumerate(thresholds):
+        if dmeta_col_name is not None and i == len(thresholds) - 1:
+            levels.append(ComparisonLevel("dmetaphone_alt",
+                                          column=col_name))
+        levels.append(ComparisonLevel("jaro_winkler", threshold=t))
+    levels.append(_else())
+    return Comparison(col_name, col_name, tuple(levels))
+
+
+def ForenameSurnameComparison(
+        forename_col_name: str, surname_col_name: str,
+        jaro_winkler_thresholds=(0.92, 0.88),
+        forename_surname_concat_col_name: str = None) -> Comparison:
+    """Reference comparison_library.py:1087. When a pre-concatenated
+    forename||surname column exists, exact-both is an (optionally
+    TF-adjustable) single-column equality on it."""
+    if forename_surname_concat_col_name:
+        exact_both = ComparisonLevel(
+            "exact", column=forename_surname_concat_col_name,
+            label="exact_forename_surname")
+    else:
+        exact_both = ComparisonLevel(
+            "custom", label="exact_both",
+            sql_condition=(
+                f"{forename_col_name}_l = {forename_col_name}_r AND "
+                f"{surname_col_name}_l = {surname_col_name}_r"))
+    levels = [ComparisonLevel("null", column=forename_col_name),
+              exact_both,
+              ComparisonLevel("columns_reversed", column=forename_col_name,
+                              column2=surname_col_name)]
+    for t in _iter(jaro_winkler_thresholds):
+        levels.append(And(
+            ComparisonLevel("jaro_winkler", column=forename_col_name,
+                            threshold=t),
+            ComparisonLevel("jaro_winkler", column=surname_col_name,
+                            threshold=t),
+            label=f"jw_both_{t}"))
+    levels += [
+        ComparisonLevel("exact", column=surname_col_name,
+                        label="surname_only"),
+        ComparisonLevel("exact", column=forename_col_name,
+                        label="forename_only"),
+        _else(),
+    ]
+    return Comparison("forename_surname", forename_col_name, tuple(levels))

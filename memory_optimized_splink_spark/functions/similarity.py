@@ -337,6 +337,71 @@ def cosine_np(v1: pd.Series, v2: pd.Series) -> np.ndarray:
     return np.where(den == 0, 0.0, out)
 
 
+# --------------------------------------------------- pairwise (array) best
+
+_PAIRWISE_KERNELS = {
+    "jaro": (jaro_np, np.maximum),
+    "jaro_winkler": (jaro_winkler_np, np.maximum),
+    "levenshtein": (lambda a, b: edit_distance_np(a, b, damerau=False),
+                    np.minimum),
+    "damerau_levenshtein": (lambda a, b: edit_distance_np(a, b, damerau=True),
+                            np.minimum),
+}
+
+
+def pairwise_best_np(a1: pd.Series, a2: pd.Series, metric: str) -> np.ndarray:
+    """Best pairwise string metric between two array<string> columns
+    (reference PairwiseStringDistanceFunctionLevel,
+    comparison_level_library.py:598-692): max for similarity metrics,
+    min for edit distances. One flattened cross-product per batch, ONE
+    vectorized kernel call over all of it, then a segmented reduce — no
+    per-row Python kernel invocations. Rows with a null/empty side or no
+    valid (non-null) element pair yield NaN (condition false downstream,
+    matching the SQL array_min-over-NULL behavior)."""
+    kernel, reducer = _PAIRWISE_KERNELS[metric]
+    flat_l: list[str] = []
+    flat_r: list[str] = []
+    counts = np.zeros(len(a1), dtype=np.int64)
+    for i, (l, r) in enumerate(zip(a1.to_numpy(dtype=object),
+                                   a2.to_numpy(dtype=object))):
+        if l is None or r is None:
+            continue
+        lv = [x for x in l if x is not None]
+        rv = [y for y in r if y is not None]
+        if not lv or not rv:
+            continue
+        counts[i] = len(lv) * len(rv)
+        for x in lv:
+            flat_l.extend([x] * len(rv))
+            flat_r.extend(rv)
+    out = np.full(len(a1), np.nan)
+    if not flat_l:
+        return out
+    scores = kernel(pd.Series(flat_l), pd.Series(flat_r)).astype(np.float64)
+    starts = np.cumsum(counts) - counts
+    nz = np.nonzero(counts)[0]
+    # segments are contiguous in row order, so each nonzero row's slice
+    # runs from its start to the next nonzero row's start (or the end)
+    out[nz] = reducer.reduceat(scores, starts[nz])
+    return out
+
+
+@F.pandas_udf(DoubleType())
+def pairwise_jaro_udf(a1: pd.Series, a2: pd.Series) -> pd.Series:
+    return pd.Series(pairwise_best_np(a1, a2, "jaro"))
+
+
+@F.pandas_udf(DoubleType())
+def pairwise_jaro_winkler_udf(a1: pd.Series, a2: pd.Series) -> pd.Series:
+    return pd.Series(pairwise_best_np(a1, a2, "jaro_winkler"))
+
+
+@F.pandas_udf(DoubleType())
+def pairwise_damerau_levenshtein_udf(a1: pd.Series, a2: pd.Series
+                                     ) -> pd.Series:
+    return pd.Series(pairwise_best_np(a1, a2, "damerau_levenshtein"))
+
+
 # ------------------------------------------------------------- pandas UDFs
 
 @F.pandas_udf(DoubleType())

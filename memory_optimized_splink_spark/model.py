@@ -123,6 +123,42 @@ class Comparison:
     def bf_column(self) -> str:
         return f"bf_{self.name}"
 
+    def configure(
+        self,
+        *,
+        term_frequency_adjustments: bool | None = None,
+        m_probabilities: list[float] | None = None,
+        u_probabilities: list[float] | None = None,
+    ) -> "Comparison":
+        """Reference ComparisonCreator.configure
+        (comparison_creator.py:150-195): m/u lists map onto the non-null
+        levels in declared order (exact first, ELSE last); TF adjustments
+        apply to exact-match levels only. Mutates in place and returns self,
+        matching the reference's call-without-reassignment idiom."""
+        non_null = [lv for lv in self.levels if not lv.is_null_level]
+        for label, probs in (("m_probabilities", m_probabilities),
+                             ("u_probabilities", u_probabilities)):
+            if probs is not None and len(probs) != len(non_null):
+                raise ValueError(
+                    f"{label} has {len(probs)} entries but this comparison "
+                    f"has {len(non_null)} non-null levels")
+        new_levels, i = [], 0
+        for lv in self.levels:
+            if lv.is_null_level:
+                new_levels.append(lv)
+                continue
+            changes: dict = {}
+            if m_probabilities is not None:
+                changes["m"] = float(m_probabilities[i])
+            if u_probabilities is not None:
+                changes["u"] = float(u_probabilities[i])
+            if term_frequency_adjustments is not None and lv.kind == "exact":
+                changes["tf_adjustment"] = bool(term_frequency_adjustments)
+            new_levels.append(replace(lv, **changes) if changes else lv)
+            i += 1
+        object.__setattr__(self, "levels", tuple(new_levels))
+        return self
+
     def with_defaults(self) -> "Comparison":
         """Fill missing m/u with untrained defaults."""
         graded = self.graded_levels

@@ -26,7 +26,8 @@ from ..functions.similarity import (
 from ..model import Comparison, ComparisonLevel, Settings
 
 _METRIC_KINDS = {"jaro_winkler", "jaro", "levenshtein", "damerau_levenshtein",
-                 "jaccard_chars", "cosine"}
+                 "jaccard_chars", "cosine", "pairwise_jaro",
+                 "pairwise_jaro_winkler", "pairwise_damerau_levenshtein"}
 
 
 def _metric_col(comp: Comparison, kind: str, column: str) -> str:
@@ -53,6 +54,19 @@ def _metric_expr(kind: str, l: Column, r: Column) -> Column:
         return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
     if kind == "cosine":
         return cosine_similarity_udf(l, r)
+    if kind.startswith("pairwise_"):
+        # best cross-product metric over two array<string> columns, one
+        # vectorized kernel pass per batch (functions.similarity)
+        from ..functions.similarity import (
+            pairwise_damerau_levenshtein_udf,
+            pairwise_jaro_udf,
+            pairwise_jaro_winkler_udf,
+        )
+        fn = {"pairwise_jaro": pairwise_jaro_udf,
+              "pairwise_jaro_winkler": pairwise_jaro_winkler_udf,
+              "pairwise_damerau_levenshtein":
+                  pairwise_damerau_levenshtein_udf}[kind]
+        return fn(l, r)
     raise ValueError(kind)
 
 
@@ -208,7 +222,9 @@ def pairs_with_columns(pairs: DataFrame, nodes: DataFrame,
     return out
 
 
-_PYTHON_METRIC_KINDS = {"jaro_winkler", "jaro", "damerau_levenshtein", "cosine"}
+_PYTHON_METRIC_KINDS = {"jaro_winkler", "jaro", "damerau_levenshtein",
+                        "cosine", "pairwise_jaro", "pairwise_jaro_winkler",
+                        "pairwise_damerau_levenshtein"}
 
 
 def with_comparison_metrics(df: DataFrame, settings: Settings,
@@ -388,7 +404,8 @@ def _level_condition(comp: Comparison, lv: ComparisonLevel) -> Column:
         return best <= F.lit(int(lv.threshold))
     if lv.kind in _METRIC_KINDS:
         m = F.col(_metric_col(comp, lv.kind, c))
-        if lv.kind in ("levenshtein", "damerau_levenshtein"):
+        if lv.kind in ("levenshtein", "damerau_levenshtein",
+                       "pairwise_damerau_levenshtein"):
             return m <= F.lit(lv.threshold)
         return m >= F.lit(lv.threshold)
     raise ValueError(lv.kind)

@@ -204,6 +204,21 @@ class LocalScorer:
             if not dists:
                 return False
             return min(dists) <= int(lv.threshold)
+        if k in ("pairwise_jaro", "pairwise_jaro_winkler",
+                 "pairwise_damerau_levenshtein"):
+            import math as _math
+
+            import pandas as _pd
+
+            from .functions.similarity import pairwise_best_np
+            best = pairwise_best_np(
+                _pd.Series([list(l)]), _pd.Series([list(r)]),
+                k[len("pairwise_"):])[0]
+            if _math.isnan(best):
+                return False
+            if k == "pairwise_damerau_levenshtein":
+                return best <= lv.threshold
+            return best >= lv.threshold
         raise LocalScoringUnsupported(k)
 
     def gamma(self, comp, rec_l: dict, rec_r: dict) -> int:
