@@ -1719,6 +1719,66 @@ def q_array_name_vectors(spark, sf_dir):
         "gamma_tokens", "gamma_name", "gamma_aliases", "gamma_qgram")
 
 
+# --- §2.7: pairwise fuzzy string metrics over array columns ------------------
+# DuckDB replay of PairwiseStringDistanceFunctionLevel for the three
+# non-levenshtein function names (reference comparison_library.py:348-417):
+# best cross-product similarity/distance via nested list_transform lambdas.
+# Our numpy kernels are bit-identical to the DuckDB builtins (fuzz-proven in
+# tests/test_similarity_vs_duckdb.py), so exact thresholds hash-match.
+
+def _pw_sql(fn: str, agg: str) -> str:
+    return (f"{agg}(flatten(list_transform(al_l, "
+            f"x -> list_transform(al_r, y -> {fn}(x, y)))))")
+
+
+def _pairwise_fuzzy_settings() -> Settings:
+    lv = ComparisonLevel
+    return Settings(
+        comparisons=(
+            Comparison("jw_alias", "aliases", (
+                lv("null"), lv("pairwise_jaro_winkler", threshold=0.9),
+                lv("pairwise_jaro_winkler", threshold=0.7), lv("else"))),
+            Comparison("jaro_alias", "aliases", (
+                lv("null"), lv("pairwise_jaro", threshold=0.85),
+                lv("else"))),
+            Comparison("dl_alias", "aliases", (
+                lv("null"), lv("pairwise_damerau_levenshtein", threshold=1),
+                lv("pairwise_damerau_levenshtein", threshold=3),
+                lv("else"))),
+        ),
+        blocking_rules=(block_on("repo"),),
+        probability_two_random_records_match=PRIOR,
+    )
+
+
+@q("pairwise_fuzzy_vectors",
+   f"""WITH {RICH_PAIRS_CTE}
+SELECT match_key, unique_id_l, unique_id_r,
+  CASE WHEN al_l IS NULL OR al_r IS NULL THEN -1
+       WHEN {_pw_sql('jaro_winkler_similarity', 'list_max')} >= 0.9 THEN 2
+       WHEN {_pw_sql('jaro_winkler_similarity', 'list_max')} >= 0.7 THEN 1
+       ELSE 0 END AS gamma_jw_alias,
+  CASE WHEN al_l IS NULL OR al_r IS NULL THEN -1
+       WHEN {_pw_sql('jaro_similarity', 'list_max')} >= 0.85 THEN 1
+       ELSE 0 END AS gamma_jaro_alias,
+  CASE WHEN al_l IS NULL OR al_r IS NULL THEN -1
+       WHEN {_pw_sql('damerau_levenshtein', 'list_min')} <= 1 THEN 2
+       WHEN {_pw_sql('damerau_levenshtein', 'list_min')} <= 3 THEN 1
+       ELSE 0 END AS gamma_dl_alias
+FROM rpairs""")
+def q_pairwise_fuzzy_vectors(spark, sf_dir):
+    """pairwise_jaro_winkler / pairwise_jaro / pairwise_damerau_levenshtein
+    gamma ladders through the real operator path (one vectorized kernel
+    pass over the flattened cross-product per Arrow batch,
+    functions/similarity.pairwise_best_np)."""
+    s = _pairwise_fuzzy_settings()
+    nodes = rich_nodes_df(spark, sf_dir)
+    pairs = block_using_rules(nodes, s)
+    return compute_comparison_vectors(pairs, nodes, s).select(
+        "match_key", "unique_id_l", "unique_id_r",
+        "gamma_jw_alias", "gamma_jaro_alias", "gamma_dl_alias")
+
+
 # --- §2.9: one EM iteration at the oracle gate -------------------------------
 # The E-step/M-step algebra (train._e_step/_m_step, reference
 # expectation_maximisation.py) replayed in pure SQL over the agreement
