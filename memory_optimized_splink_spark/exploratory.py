@@ -206,11 +206,47 @@ def phonetic_match_chart(data, col1: str, col2: str) -> dict:
     return _heatmap(records, "Phonetic matches", color_field="match")
 
 
-def profile_columns(df, columns=None, top_n: int = 10,
-                    bottom_n: int = 10) -> dict:
-    """Reference splink.exploratory.profile_columns equivalent: the
-    multi-panel profiler chart spec (see charts.profile_columns_chart_spec;
-    data aggregation is distributed, payload driver-bounded)."""
+def profile_columns(df, db_api=None, column_expressions=None,
+                    top_n: int = 10, bottom_n: int = 10,
+                    columns=None) -> dict:
+    """Reference splink.exploratory.profile_columns
+    (profile_data.py:205-211 signature: table, db_api,
+    column_expressions) — the multi-panel profiler chart spec (see
+    charts.profile_columns_chart_spec; data aggregation is distributed,
+    payload driver-bounded). `db_api` is accepted for signature parity and
+    ignored; `columns` is this engine's original keyword, kept as an
+    alias of column_expressions."""
     from .charts import profile_columns_chart_spec
-    return profile_columns_chart_spec(df, columns=columns, top_n=top_n,
+    cols = column_expressions if column_expressions is not None else columns
+    return profile_columns_chart_spec(df, columns=cols, top_n=top_n,
                                       bottom_n=bottom_n)
+
+
+def completeness_chart(table_or_tables, db_api=None, cols=None,
+                       table_names_for_chart=None) -> dict:
+    """Reference splink.exploratory.completeness_chart
+    (completeness.py:112-117): non-null share per column, per input table
+    when several are given. Multi-table inputs are tagged and vertically
+    concatenated (missing columns become nulls), one aggregate total."""
+    from pyspark.sql import DataFrame, functions as F
+
+    from .charts import completeness_chart_spec
+    from .operators.profiling import completeness_data
+
+    tables = (list(table_or_tables)
+              if isinstance(table_or_tables, (list, tuple))
+              else [table_or_tables])
+    if not all(isinstance(t, DataFrame) for t in tables):
+        raise TypeError("table_or_tables must be Spark DataFrame(s)")
+    if len(tables) == 1:
+        return completeness_chart_spec(
+            completeness_data(tables[0], columns=cols))
+    names = table_names_for_chart or [f"table_{i}"
+                                      for i in range(len(tables))]
+    marked = None
+    for t, name in zip(tables, names):
+        tagged = t.withColumn("source_dataset", F.lit(name))
+        marked = tagged if marked is None else marked.unionByName(
+            tagged, allowMissingColumns=True)
+    return completeness_chart_spec(completeness_data(
+        marked, source_dataset_col="source_dataset", columns=cols))
