@@ -369,3 +369,46 @@ def test_geo_array_gamma_ladders_stay_jvm_side(spark):
         assert "ArrowEvalPython" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
         assert "CartesianProduct" not in plan
+
+
+def test_pairwise_metrics_single_arrow_stage(spark):
+    """Pairwise array metrics must compute in ONE ArrowEvalPython stage on
+    the pair table (one metric column per (comparison, kind), reused by
+    every threshold level), never one stage per level, and never a
+    row-at-a-time BatchEvalPython."""
+    from memory_optimized_splink_spark.model import (
+        Comparison, ComparisonLevel, Settings, block_on,
+    )
+    from memory_optimized_splink_spark.operators.blocking import (
+        block_using_rules,
+    )
+    from memory_optimized_splink_spark.operators.vectors import (
+        compute_comparison_vectors,
+    )
+
+    rows = [(str(i), "k", ["smith", "smyth"]) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "unique_id string, k string, aliases array<string>")
+    s = Settings(
+        comparisons=(
+            Comparison("aliases", "aliases", (
+                ComparisonLevel("null"),
+                ComparisonLevel("pairwise_jaro_winkler", threshold=0.95,
+                                m=0.9, u=0.01),
+                ComparisonLevel("pairwise_jaro_winkler", threshold=0.7,
+                                m=0.5, u=0.05),
+                ComparisonLevel("else", m=0.1, u=0.9),
+            )),
+        ),
+        blocking_rules=(block_on("k"),),
+        probability_two_random_records_match=0.1,
+    )
+    cv = compute_comparison_vectors(block_using_rules(df, s), df, s)
+    plan = _plan(cv)
+    assert "BatchEvalPython" not in plan
+    arrow_stages = [ln for ln in plan.splitlines()
+                    if "ArrowEvalPython" in ln]
+    assert len(arrow_stages) == 1, plan
+    # both threshold levels share the single metric column: exactly one
+    # pairwise UDF invocation in the stage
+    assert arrow_stages[0].count("pairwise_jaro_winkler_udf") == 1
