@@ -299,9 +299,10 @@ class SparkLinker:
             member.withColumnRenamed("node_id", uid), on=uid)
 
     # ------------------------------------------------------------ training
-    def estimate_u(self, max_pairs: float = 1e6) -> "SparkLinker":
+    def estimate_u(self, max_pairs: float = 1e6,
+                   seed: int | None = None) -> "SparkLinker":
         self.settings = train_mod.estimate_u_using_random_sampling(
-            self.nodes(), self.settings, max_pairs=max_pairs
+            self.nodes(), self.settings, max_pairs=max_pairs, seed=seed
         )
         self._parameter_estimates.append(
             ("u from random sampling", self.settings))
@@ -1004,6 +1005,12 @@ class SparkLinker:
         """Reference training.py:34-158 — estimate λ from deterministic
         rules + assumed recall (native name: estimate_lambda)."""
         return self.estimate_lambda(deterministic_matching_rules, recall)
+
+    def estimate_u_using_random_sampling(self, max_pairs: float = 1e6,
+                                         seed: int | None = None
+                                         ) -> "SparkLinker":
+        """Reference training.py:160-209 (native name: estimate_u)."""
+        return self.estimate_u(max_pairs=max_pairs, seed=seed)
 
     def estimate_parameters_using_expectation_maximisation(
             self, blocking_rule, fix_u: bool = True) -> list[dict]:
