@@ -123,6 +123,45 @@ _THRESH_KINDS = {
 }
 
 
+# the reference's PairwiseStringDistanceFunctionLevel emits
+# agg(transform(flatten(transform(col_l, x -> transform(col_r, y -> [x,y]))),
+# pair -> fn(pair[i], pair[i+1]))) cmp t (comparison_level_library.py:598-692)
+_PW_FN_TO_KIND = {
+    "levenshtein": "pairwise_levenshtein",
+    "damerau_levenshtein": "pairwise_damerau_levenshtein",
+    "jaro_winkler_similarity": "pairwise_jaro_winkler",  # duckdb names
+    "jaro_similarity": "pairwise_jaro",
+    "jaro_winkler": "pairwise_jaro_winkler",             # spark-dialect names
+    "jaro_sim": "pairwise_jaro",
+}
+_PW_RE = re.compile(
+    r"(?:list_min|list_max|array_min|array_max)\s*\(\s*"
+    r"(?:list_transform|transform)\s*\(\s*flatten\s*\(\s*"
+    rf"(?:list_transform|transform)\s*\(\s*({_IDENT})_l\s*,\s*"
+    r"x\s*->\s*(?:list_transform|transform)\s*\(\s*\1_r\s*,\s*"
+    r"y\s*->\s*\[\s*x\s*,\s*y\s*\]\s*\)\s*\)\s*\)\s*,\s*"
+    rf"pair\s*->\s*({_IDENT})\s*\(\s*pair\s*\[\s*\d+\s*\]\s*,\s*"
+    r"pair\s*\[\s*\d+\s*\]\s*\)\s*\)\s*\)\s*(<=|>=)\s*"
+    r"([0-9]*\.?[0-9]+)")
+
+
+def _parse_pairwise(sql: str) -> ComparisonLevel | None:
+    m = _PW_RE.fullmatch(sql)
+    if not m:
+        return None
+    col, fn, op, threshold = m.groups()
+    kind = _PW_FN_TO_KIND.get(fn.lower())
+    if kind is None:
+        raise UnsupportedSettingsError(
+            f"pairwise string distance over unknown function {fn!r}: "
+            f"{sql!r}")
+    want = "<=" if kind.endswith("levenshtein") else ">="
+    if op != want:
+        raise UnsupportedSettingsError(
+            f"pairwise {fn} with operator {op} (expected {want}): {sql!r}")
+    return ComparisonLevel(kind=kind, column=col, threshold=float(threshold))
+
+
 def _parse_level(d: dict, dialect: str) -> ComparisonLevel:
     sql = _strip_ident_quotes(d["sql_condition"].strip())
     label = d.get("label_for_charts", "")
@@ -173,6 +212,11 @@ def _parse_level(d: dict, dialect: str) -> ComparisonLevel:
                 f"{sql!r}")
         return ComparisonLevel(kind=kind, column=tf_col or m.group(2),
                                threshold=float(m.group(4)), **common)
+
+    pw = _parse_pairwise(sql)
+    if pw is not None:
+        return ComparisonLevel(kind=pw.kind, column=tf_col or pw.column,
+                               threshold=pw.threshold, **common)
 
     return ComparisonLevel(kind="custom", column=tf_col,
                            sql_condition=_translate_sql(sql, dialect),
@@ -344,6 +388,20 @@ def _level_to_splink_dict(comp: Comparison, lv: ComparisonLevel) -> dict:
     elif lv.kind in _KIND_TO_FN:
         fn, op = _KIND_TO_FN[lv.kind]
         sql = f'{fn}("{col}_l", "{col}_r") {op} {lv.threshold}'
+    elif lv.kind.startswith("pairwise_"):
+        fn, agg, op = {
+            "pairwise_levenshtein": ("levenshtein", "list_min", "<="),
+            "pairwise_damerau_levenshtein":
+                ("damerau_levenshtein", "list_min", "<="),
+            "pairwise_jaro": ("jaro_similarity", "list_max", ">="),
+            "pairwise_jaro_winkler":
+                ("jaro_winkler_similarity", "list_max", ">="),
+        }[lv.kind]
+        # the reference's own emitted shape (comparison_level_library.py:
+        # 598-692, duckdb dialect) — re-imports to the native kind
+        sql = (f'{agg}(list_transform(flatten(list_transform("{col}_l", '
+               f'x -> list_transform("{col}_r", y -> [x, y]))), '
+               f"pair -> {fn}(pair[1], pair[2]))) {op} {lv.threshold}")
     elif lv.kind in ("and", "or"):
         # the reference's And/Or/Not flatten to combined SQL at settings-
         # creation time (comparison_level_composition.py:43-46) — same here

@@ -463,3 +463,75 @@ def test_export_validates_against_reference_jsonschema():
         rt = settings_to_splink_dict(settings_from_splink_dict(model))
         errs = list(validator.iter_errors(rt))
         assert not errs, (path, [e.message for e in errs[:5]])
+
+
+def test_pairwise_levels_roundtrip_reference_format():
+    """Pairwise string-distance levels export in the reference's own
+    emitted SQL shape (comparison_level_library.py:598-692) and re-import
+    to the native kinds."""
+    import json
+
+    from memory_optimized_splink_spark.interop import (
+        settings_from_splink_json, settings_to_splink_dict,
+    )
+    from memory_optimized_splink_spark.model import (
+        Comparison, ComparisonLevel, Settings, block_on,
+    )
+
+    s = Settings(
+        comparisons=(Comparison("aliases", "aliases", (
+            ComparisonLevel("null"),
+            ComparisonLevel("pairwise_jaro_winkler", threshold=0.9,
+                            m=0.8, u=0.01),
+            ComparisonLevel("pairwise_damerau_levenshtein", threshold=2,
+                            m=0.5, u=0.05),
+            ComparisonLevel("else", m=0.1, u=0.9),
+        )),),
+        blocking_rules=(block_on("blk"),),
+    )
+    d = settings_to_splink_dict(s)
+    lvls = d["comparisons"][0]["comparison_levels"]
+    assert "list_max(list_transform(flatten" in lvls[1]["sql_condition"]
+    assert "jaro_winkler_similarity(pair[1], pair[2]))) >= 0.9" in \
+        lvls[1]["sql_condition"]
+    back = settings_from_splink_json(json.dumps(d))
+    kinds = [lv.kind for lv in back.comparisons[0].levels]
+    assert kinds == ["null", "pairwise_jaro_winkler",
+                     "pairwise_damerau_levenshtein", "else"]
+    assert back.comparisons[0].levels[1].threshold == 0.9
+    assert back.comparisons[0].levels[1].m == 0.8
+
+
+def test_pairwise_import_reference_emitted_whitespace():
+    """The reference emits the pairwise SQL as a multiline f-string with
+    heavy indentation (comparison_level_library.py:640-670) — import must
+    recognise it regardless of whitespace, for both 1-based (duckdb) and
+    0-based (spark) pair indexing and dialect function names."""
+    from memory_optimized_splink_spark.interop import _parse_level
+
+    duck_sql = """list_min(
+                    list_transform(
+                        flatten(
+                            list_transform(
+                                "aliases_l",
+                                x -> list_transform(
+                                    "aliases_r",
+                                    y -> [x, y]
+                                )
+                            )
+                        ),
+                        pair -> levenshtein(
+                            pair[1],
+                            pair[2]
+                        )
+                    )
+                ) <= 2"""
+    lv = _parse_level({"sql_condition": duck_sql}, "duckdb")
+    assert lv.kind == "pairwise_levenshtein"
+    assert lv.column == "aliases" and lv.threshold == 2.0
+
+    spark_sql = ("array_min(transform(flatten(transform(aliases_l, "
+                 "x -> transform(aliases_r, y -> [x, y]))), "
+                 "pair -> jaro_winkler(pair[0], pair[1]))) >= 0.88")
+    lv = _parse_level({"sql_condition": spark_sql}, "spark")
+    assert lv.kind == "pairwise_jaro_winkler" and lv.threshold == 0.88
