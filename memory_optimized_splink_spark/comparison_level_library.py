@@ -9,7 +9,17 @@ CustomComparison."""
 from __future__ import annotations
 
 from .comparison_library import TIME_METRIC_SECONDS, _metric_seconds
+from .functions.column_expression import ColumnExpression
 from .model import ComparisonLevel
+
+
+def _ce(col) -> ColumnExpression:
+    return ColumnExpression.instantiate_if_str(col)
+
+
+def _ce_pair_sql(ce: ColumnExpression) -> tuple[str, str]:
+    return (ce.sql_expression(f"{ce.name}_l"),
+            ce.sql_expression(f"{ce.name}_r"))
 
 __all__ = [
     "NullLevel", "ElseLevel", "CustomLevel", "ExactMatchLevel",
@@ -24,10 +34,24 @@ __all__ = [
 ]
 
 
-def NullLevel(col_name: str, valid_string_pattern: str = None
+def NullLevel(col_name, valid_string_pattern: str = None
               ) -> ComparisonLevel:
     """Reference cll.NullLevel:82 — with valid_string_pattern, values not
-    matching the regex are also treated as null."""
+    matching the regex are also treated as null. Accepts a
+    ColumnExpression anywhere the reference does (the expression renders
+    into the level SQL)."""
+    ce = _ce(col_name)
+    if not ce.is_pure_column:
+        l, r = _ce_pair_sql(ce)
+        cond = f"({l}) IS NULL OR ({r}) IS NULL"
+        if valid_string_pattern:
+            p = valid_string_pattern.replace("'", "\\'")
+            cond += (f" OR NOT (({l}) RLIKE '{p}')"
+                     f" OR NOT (({r}) RLIKE '{p}')")
+        return ComparisonLevel("null", column=ce.name,
+                               label=f"{ce.output_column_name}_is_null",
+                               sql_condition=cond)
+    col_name = ce.name
     if valid_string_pattern:
         p = valid_string_pattern.replace("'", "\\'")
         return ComparisonLevel(
@@ -55,9 +79,21 @@ def CustomLevel(sql_condition: str, label_for_charts: str = None,
     return _parse_level(d, base_dialect_str or "duckdb")
 
 
-def ExactMatchLevel(col_name: str, term_frequency_adjustments: bool = False
+def ExactMatchLevel(col_name, term_frequency_adjustments: bool = False
                     ) -> ComparisonLevel:
-    return ComparisonLevel("exact", column=col_name,
+    ce = _ce(col_name)
+    if not ce.is_pure_column:
+        if term_frequency_adjustments:
+            raise ValueError(
+                "term_frequency_adjustments need a raw column (the TF "
+                "table is keyed by column values); materialize the "
+                "expression as a column first")
+        l, r = _ce_pair_sql(ce)
+        return ComparisonLevel(
+            "custom", column=ce.name,
+            label=f"exact_{ce.output_column_name}",
+            sql_condition=f"({l}) = ({r})")
+    return ComparisonLevel("exact", column=ce.name,
                            tf_adjustment=term_frequency_adjustments)
 
 
@@ -87,33 +123,52 @@ def ColumnsReversedLevel(col_name_1: str, col_name_2: str,
     return Or(base, direct, label=f"reversed_or_direct_{col_name_1}")
 
 
-def LevenshteinLevel(col_name: str, distance_threshold: int
-                     ) -> ComparisonLevel:
-    return ComparisonLevel("levenshtein", column=col_name,
-                           threshold=distance_threshold)
+# SQL-callable comparator names for expression inputs (builtin levenshtein;
+# the rest are registered on the session by functions.similarity.register_udfs)
+_METRIC_SQL_FN = {
+    "levenshtein": ("levenshtein", "<="),
+    "damerau_levenshtein": ("damerau_levenshtein", "<="),
+    "jaro_winkler": ("jaro_winkler", ">="),
+    "jaro": ("jaro_sim", ">="),
+}
 
 
-def DamerauLevenshteinLevel(col_name: str, distance_threshold: int
+def _metric_level(kind: str, col_name, threshold) -> ComparisonLevel:
+    ce = _ce(col_name)
+    if ce.is_pure_column:
+        return ComparisonLevel(kind, column=ce.name, threshold=threshold)
+    if kind not in _METRIC_SQL_FN:
+        raise NotImplementedError(
+            f"{kind} over a ColumnExpression is not supported; materialize "
+            "the expression as a column first")
+    fn, op = _METRIC_SQL_FN[kind]
+    l, r = _ce_pair_sql(ce)
+    return ComparisonLevel(
+        "custom", column=ce.name,
+        label=f"{kind}_{ce.output_column_name}_{op}_{threshold}",
+        sql_condition=f"{fn}(({l}), ({r})) {op} {threshold}")
+
+
+def LevenshteinLevel(col_name, distance_threshold: int) -> ComparisonLevel:
+    return _metric_level("levenshtein", col_name, distance_threshold)
+
+
+def DamerauLevenshteinLevel(col_name, distance_threshold: int
                             ) -> ComparisonLevel:
-    return ComparisonLevel("damerau_levenshtein", column=col_name,
-                           threshold=distance_threshold)
+    return _metric_level("damerau_levenshtein", col_name,
+                         distance_threshold)
 
 
-def JaroWinklerLevel(col_name: str, distance_threshold: float
-                     ) -> ComparisonLevel:
-    return ComparisonLevel("jaro_winkler", column=col_name,
-                           threshold=distance_threshold)
+def JaroWinklerLevel(col_name, distance_threshold: float) -> ComparisonLevel:
+    return _metric_level("jaro_winkler", col_name, distance_threshold)
 
 
-def JaroLevel(col_name: str, distance_threshold: float) -> ComparisonLevel:
-    return ComparisonLevel("jaro", column=col_name,
-                           threshold=distance_threshold)
+def JaroLevel(col_name, distance_threshold: float) -> ComparisonLevel:
+    return _metric_level("jaro", col_name, distance_threshold)
 
 
-def JaccardLevel(col_name: str, distance_threshold: float
-                 ) -> ComparisonLevel:
-    return ComparisonLevel("jaccard_chars", column=col_name,
-                           threshold=distance_threshold)
+def JaccardLevel(col_name, distance_threshold: float) -> ComparisonLevel:
+    return _metric_level("jaccard_chars", col_name, distance_threshold)
 
 
 def DistanceFunctionLevel(col_name: str, distance_function_name: str,

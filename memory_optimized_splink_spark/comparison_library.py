@@ -229,20 +229,56 @@ def _metric_seconds(threshold: float, metric: str) -> float:
     return float(threshold) * TIME_METRIC_SECONDS[metric]
 
 
-def ExactMatch(col_name: str) -> Comparison:
-    return exact_match(col_name)
+def _ce_metric_comparison(kind: str, ce, thresholds: list) -> Comparison:
+    """Comparison over a transformed ColumnExpression: the expression
+    renders into each level's SQL, exactly how the reference's creator
+    classes emit it (comparison_creator.py renders col_expression per
+    level). The base column is the comparison column, so projection
+    carries it to the pair table."""
+    from . import comparison_level_library as cll
+    levels = [cll.NullLevel(ce), cll.ExactMatchLevel(ce)]
+    levels += [cll._metric_level(kind, ce, t) for t in thresholds]
+    levels.append(_else())
+    return Comparison(ce.output_column_name, ce.name, tuple(levels))
+
+
+def _maybe_ce(col_name):
+    from .functions.column_expression import ColumnExpression
+    ce = ColumnExpression.instantiate_if_str(col_name)
+    return ce if not ce.is_pure_column else None
+
+
+def ExactMatch(col_name) -> Comparison:
+    ce = _maybe_ce(col_name)
+    if ce is not None:
+        from . import comparison_level_library as cll
+        return Comparison(ce.output_column_name, ce.name, (
+            cll.NullLevel(ce), cll.ExactMatchLevel(ce), _else()))
+    name = col_name if isinstance(col_name, str) else col_name.name
+    return exact_match(name)
 
 
 def LevenshteinAtThresholds(
-        col_name: str, distance_threshold_or_thresholds=(1, 2)) -> Comparison:
+        col_name, distance_threshold_or_thresholds=(1, 2)) -> Comparison:
+    ce = _maybe_ce(col_name)
+    if ce is not None:
+        return _ce_metric_comparison(
+            "levenshtein", ce, _iter(distance_threshold_or_thresholds))
+    name = col_name if isinstance(col_name, str) else col_name.name
     return levenshtein_at_thresholds(
-        col_name, _iter(distance_threshold_or_thresholds))
+        name, _iter(distance_threshold_or_thresholds))
 
 
 def DamerauLevenshteinAtThresholds(
-        col_name: str, distance_threshold_or_thresholds=(1, 2)) -> Comparison:
+        col_name, distance_threshold_or_thresholds=(1, 2)) -> Comparison:
+    ce = _maybe_ce(col_name)
+    if ce is not None:
+        return _ce_metric_comparison(
+            "damerau_levenshtein", ce,
+            _iter(distance_threshold_or_thresholds))
+    name = col_name if isinstance(col_name, str) else col_name.name
     return damerau_levenshtein_at_thresholds(
-        col_name, _iter(distance_threshold_or_thresholds))
+        name, _iter(distance_threshold_or_thresholds))
 
 
 def JaccardAtThresholds(
@@ -252,14 +288,24 @@ def JaccardAtThresholds(
 
 
 def JaroAtThresholds(
-        col_name: str, score_threshold_or_thresholds=(0.9, 0.7)) -> Comparison:
-    return jaro_at_thresholds(col_name, _iter(score_threshold_or_thresholds))
+        col_name, score_threshold_or_thresholds=(0.9, 0.7)) -> Comparison:
+    ce = _maybe_ce(col_name)
+    if ce is not None:
+        return _ce_metric_comparison(
+            "jaro", ce, _iter(score_threshold_or_thresholds))
+    name = col_name if isinstance(col_name, str) else col_name.name
+    return jaro_at_thresholds(name, _iter(score_threshold_or_thresholds))
 
 
 def JaroWinklerAtThresholds(
-        col_name: str, score_threshold_or_thresholds=(0.9, 0.7)) -> Comparison:
+        col_name, score_threshold_or_thresholds=(0.9, 0.7)) -> Comparison:
+    ce = _maybe_ce(col_name)
+    if ce is not None:
+        return _ce_metric_comparison(
+            "jaro_winkler", ce, _iter(score_threshold_or_thresholds))
+    name = col_name if isinstance(col_name, str) else col_name.name
     return jaro_winkler_at_thresholds(
-        col_name, _iter(score_threshold_or_thresholds))
+        name, _iter(score_threshold_or_thresholds))
 
 
 def CosineSimilarityAtThresholds(

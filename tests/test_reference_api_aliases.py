@@ -258,3 +258,71 @@ def test_pairwise_local_scorer_parity(spark):
                         {"aliases": ["jones"]}) == -1
     assert scorer.gamma(comp, {"aliases": []},
                         {"aliases": ["jones"]}) == 0
+
+
+# ------------------------------------------ ColumnExpression in creators
+
+def test_column_expression_in_creators_matches_materialized(spark):
+    """cl/cll creators accept a ColumnExpression (reference
+    comparison_creator renders the expression into level SQL); gammas
+    must equal running the plain creator on a pre-materialized column."""
+    import pyspark.sql.functions as F
+
+    from memory_optimized_splink_spark.functions.column_expression import (
+        ColumnExpression,
+    )
+    from memory_optimized_splink_spark.functions.similarity import (
+        register_udfs,
+    )
+    from memory_optimized_splink_spark.operators.blocking import (
+        block_using_rules,
+    )
+    from memory_optimized_splink_spark.operators.vectors import (
+        compute_comparison_vectors,
+    )
+
+    register_udfs(spark)
+    rows = [(1, "k", "John.Smith@x.com"), (2, "k", "john.smith@y.org"),
+            (3, "k", "JANE.DOE@x.com"), (4, "k", None),
+            (5, "k", "jon.smith@z.net")]
+    df = spark.createDataFrame(rows, "unique_id int, k string, email string")
+
+    ce = ColumnExpression("email").lower().regex_extract(r"^[^@]+", 0)
+    assert ce.output_column_name == "email_lower_regex_extract"
+    assert ce.sql_expression("email_l") == \
+        "regexp_extract(lower(email_l), '^[^@]+', 0)"
+
+    def gammas(settings, nodes):
+        s = Settings(comparisons=(settings,), blocking_rules=(
+            __import__("memory_optimized_splink_spark.model",
+                       fromlist=["block_on"]).block_on("k"),))
+        pairs = block_using_rules(nodes, s)
+        cv = compute_comparison_vectors(pairs, nodes, s)
+        gcol = f"gamma_{settings.name}"
+        return (cv.select("unique_id_l", "unique_id_r",
+                          F.col(gcol).alias("g"))
+                .toPandas().set_index(["unique_id_l", "unique_id_r"])["g"]
+                .sort_index())
+
+    got = gammas(cl.JaroWinklerAtThresholds(ce, [0.95]), df)
+    materialized = df.withColumn("username", ce.to_column())
+    want = gammas(cl.JaroWinklerAtThresholds("username", [0.95]),
+                  materialized)
+    assert list(got.values) == list(want.values)
+    # null email -> null level fires on the expression too
+    assert got.loc[(1, 4)] == -1
+
+
+def test_column_expression_exact_match_creator(spark):
+    from memory_optimized_splink_spark.functions.column_expression import (
+        ColumnExpression,
+    )
+
+    ce = ColumnExpression("email").lower()
+    c = cl.ExactMatch(ce)
+    assert c.name == "email_lower" and c.column == "email"
+    assert c.levels[1].kind == "custom"
+    assert c.levels[1].sql_condition == "(lower(email_l)) = (lower(email_r))"
+    with pytest.raises(ValueError, match="raw column"):
+        import memory_optimized_splink_spark.comparison_level_library as _cll
+        _cll.ExactMatchLevel(ce, term_frequency_adjustments=True)
