@@ -41,7 +41,7 @@ class SparkLinker:
     def __init__(
         self,
         spark: SparkSession,
-        input_table: DataFrame,
+        input_table: "DataFrame | list[DataFrame] | dict[str, DataFrame]",
         settings: "Settings | SettingsCreator | dict | str",
         checkpoint_dir: str | None = None,
         enable_checkpoints: bool = False,
@@ -56,6 +56,8 @@ class SparkLinker:
         # (reference linker.py:75,143-146: SettingsCreator | dict | path)
         from .settings_creator import resolve_settings
         self.settings = resolve_settings(settings).with_defaults()
+        if isinstance(input_table, (list, tuple, dict)):
+            input_table = self._concat_input_tables(input_table)
         # fail fast on missing columns (reference linker.py:316-334)
         self.settings.validate_against(input_table.columns)
         self._input = input_table
@@ -102,6 +104,39 @@ class SparkLinker:
             self._input_fp = {"schema": schema, "n": row["n"],
                               "h": row["h"] if uid in self._input.columns else None}
         return self._input_fp
+
+    def _concat_input_tables(self, tables) -> DataFrame:
+        """Reference Linker's multi-table input (linker.py:75: a list of
+        tables for link jobs): vertically concatenate with a dataset tag
+        (reference vertical concat, nodes.py:38-58) and make unique ids
+        GLOBALLY unique by prefixing the dataset alias — input datasets
+        routinely share id values, and every downstream join keys on the
+        bare unique_id (same scheme as brs.cumulative_comparisons_link).
+        Output ids read `<alias>:<original_id>`."""
+        from dataclasses import replace as _replace
+
+        named = (dict(tables) if isinstance(tables, dict) else
+                 {f"__splink__input_table_{i}": df
+                  for i, df in enumerate(tables)})
+        if len(named) > 1 and self.settings.link_type == "dedupe_only":
+            raise ValueError(
+                "multiple input tables need link_type 'link_only' or "
+                "'link_and_dedupe'")
+        uid = self.settings.unique_id_column_name
+        sds = self.settings.source_dataset_column_name or "source_dataset"
+        parts = []
+        for alias, df in named.items():
+            parts.append(
+                df.withColumn(sds, F.lit(alias)).withColumn(
+                    uid, F.concat(F.lit(alias), F.lit(":"),
+                                  F.col(uid).cast("string"))))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        if self.settings.source_dataset_column_name is None:
+            self.settings = _replace(self.settings,
+                                     source_dataset_column_name=sds)
+        return out
 
     def _config(self, **extra) -> dict:
         cfg = {"settings": self.settings.to_json(),

@@ -150,3 +150,45 @@ def test_retain_intermediate_calculation_columns_keeps_bf(
     a = pred_default.agg(F.sum("match_probability")).collect()[0][0]
     b = pred_keep.agg(F.sum("match_probability")).collect()[0][0]
     assert abs(a - b) < 1e-9
+
+
+def test_linker_accepts_multiple_input_tables(spark):
+    """Reference Linker takes a list of tables for link jobs
+    (linker.py:75): SparkLinker concatenates with a dataset tag and
+    prefixes ids so datasets may share id values."""
+    left = spark.createDataFrame(
+        [(1, "smith", "a"), (2, "jones", "b")],
+        "unique_id int, name string, blk string")
+    right = spark.createDataFrame(
+        [(1, "smith", "a"), (3, "taylor", "b")],  # id 1 collides
+        "unique_id int, name string, blk string")
+    settings = SettingsCreator(
+        link_type="link_only",
+        comparisons=[cl.exact_match("name")],
+        blocking_rules_to_generate_predictions=[block_on("blk")],
+    )
+    pred = SparkLinker(spark, [left, right], settings).predict().toPandas()
+    # one cross-dataset pair per blk value; no within-dataset pairs
+    assert len(pred) == 2
+    pairs = {tuple(sorted((r.unique_id_l, r.unique_id_r)))
+             for r in pred.itertuples()}
+    assert pairs == {
+        ("__splink__input_table_0:1", "__splink__input_table_1:1"),
+        ("__splink__input_table_0:2", "__splink__input_table_1:3")}
+    by_pair = {tuple(sorted((r.unique_id_l, r.unique_id_r))):
+               r.match_probability for r in pred.itertuples()}
+    exact = by_pair[("__splink__input_table_0:1",
+                     "__splink__input_table_1:1")]
+    fuzzy = by_pair[("__splink__input_table_0:2",
+                     "__splink__input_table_1:3")]
+    assert exact > fuzzy  # name agrees only on the id-1 pair
+
+    named = SparkLinker(spark, {"cust": left, "supp": right},
+                        settings).predict().toPandas()
+    assert {u.split(":")[0] for u in named.unique_id_l} <= {"cust", "supp"}
+
+    with pytest.raises(ValueError, match="link_type"):
+        SparkLinker(spark, [left, right], SettingsCreator(
+            link_type="dedupe_only",
+            comparisons=[cl.exact_match("name")],
+            blocking_rules_to_generate_predictions=[block_on("blk")]))
