@@ -349,40 +349,71 @@ _PAIRWISE_KERNELS = {
 }
 
 
+# flattened cross-product rows buffered per kernel call: bounds peak memory
+# when array columns are wide (a 300x300-alias row alone is 90k pairs) while
+# keeping the kernel batches large enough to amortize the numpy setup
+_PAIRWISE_FLAT_BUDGET = 1 << 21
+
+
 def pairwise_best_np(a1: pd.Series, a2: pd.Series, metric: str) -> np.ndarray:
     """Best pairwise string metric between two array<string> columns
     (reference PairwiseStringDistanceFunctionLevel,
     comparison_level_library.py:598-692): max for similarity metrics,
-    min for edit distances. One flattened cross-product per batch, ONE
-    vectorized kernel call over all of it, then a segmented reduce — no
-    per-row Python kernel invocations. Rows with a null/empty side or no
-    valid (non-null) element pair yield NaN (condition false downstream,
-    matching the SQL array_min-over-NULL behavior)."""
+    min for edit distances. The cross-products are flattened in slices of
+    at most _PAIRWISE_FLAT_BUDGET rows, each slice ONE vectorized kernel
+    call followed by a segmented reduce — no per-row Python kernel
+    invocations, bounded peak memory regardless of array widths. Rows with
+    a null/empty side or no valid (non-null) element pair yield NaN
+    (condition false downstream, matching the SQL array_min-over-NULL
+    behavior)."""
     kernel, reducer = _PAIRWISE_KERNELS[metric]
+    n = len(a1)
+    out = np.full(n, np.nan)
+    v1 = a1.to_numpy(dtype=object)
+    v2 = a2.to_numpy(dtype=object)
+
     flat_l: list[str] = []
     flat_r: list[str] = []
-    counts = np.zeros(len(a1), dtype=np.int64)
-    for i, (l, r) in enumerate(zip(a1.to_numpy(dtype=object),
-                                   a2.to_numpy(dtype=object))):
+    counts: list[int] = []
+    rows: list[int] = []
+
+    def flush() -> None:
+        if not flat_l:
+            return
+        scores = kernel(pd.Series(flat_l),
+                        pd.Series(flat_r)).astype(np.float64)
+        cnt = np.asarray(counts, dtype=np.int64)
+        starts = np.cumsum(cnt) - cnt
+        # segments are contiguous in append order: each row's slice runs
+        # from its start to the next row's start (or the end)
+        best = reducer.reduceat(scores, starts)
+        idx = np.asarray(rows, dtype=np.int64)
+        # a single row's product can span flushes: combine with any prior
+        prior = out[idx]
+        merged = np.where(np.isnan(prior), best, reducer(prior, best))
+        out[idx] = merged
+        flat_l.clear(), flat_r.clear(), counts.clear(), rows.clear()
+
+    for i in range(n):
+        l, r = v1[i], v2[i]
         if l is None or r is None:
             continue
         lv = [x for x in l if x is not None]
         rv = [y for y in r if y is not None]
         if not lv or not rv:
             continue
-        counts[i] = len(lv) * len(rv)
+        # slice this row's cross product into budget-sized pieces (the
+        # budget is soft: one left element's row of pairs is never split)
         for x in lv:
+            if flat_l and len(flat_l) + len(rv) > _PAIRWISE_FLAT_BUDGET:
+                flush()
+            if not rows or rows[-1] != i:
+                rows.append(i)
+                counts.append(0)
             flat_l.extend([x] * len(rv))
             flat_r.extend(rv)
-    out = np.full(len(a1), np.nan)
-    if not flat_l:
-        return out
-    scores = kernel(pd.Series(flat_l), pd.Series(flat_r)).astype(np.float64)
-    starts = np.cumsum(counts) - counts
-    nz = np.nonzero(counts)[0]
-    # segments are contiguous in row order, so each nonzero row's slice
-    # runs from its start to the next nonzero row's start (or the end)
-    out[nz] = reducer.reduceat(scores, starts[nz])
+            counts[-1] += len(rv)
+    flush()
     return out
 
 

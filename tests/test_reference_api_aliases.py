@@ -326,3 +326,28 @@ def test_column_expression_exact_match_creator(spark):
     with pytest.raises(ValueError, match="raw column"):
         import memory_optimized_splink_spark.comparison_level_library as _cll
         _cll.ExactMatchLevel(ce, term_frequency_adjustments=True)
+
+
+def test_pairwise_budget_slicing_preserves_results(monkeypatch):
+    """Cross-products bigger than the flat budget split across kernel
+    flushes (bounded peak memory at any array width); per-row bests must
+    merge across flush boundaries exactly."""
+    import memory_optimized_splink_spark.functions.similarity as sim
+
+    rng = np.random.default_rng(11)
+    words = ["smith", "smyth", "jones", "jonson", "taylor"]
+    a1 = [list(rng.choice(words, rng.integers(1, 6))) for _ in range(60)]
+    a2 = [list(rng.choice(words, rng.integers(1, 6))) for _ in range(60)]
+    want = sim.pairwise_best_np(pd.Series(a1), pd.Series(a2),
+                                "jaro_winkler")
+    monkeypatch.setattr(sim, "_PAIRWISE_FLAT_BUDGET", 7)  # force splits
+    got = sim.pairwise_best_np(pd.Series(a1), pd.Series(a2),
+                               "jaro_winkler")
+    assert np.allclose(got, want, equal_nan=True)
+
+    want_dl = sim.pairwise_best_np(pd.Series(a1), pd.Series(a2),
+                                   "damerau_levenshtein")
+    monkeypatch.setattr(sim, "_PAIRWISE_FLAT_BUDGET", 3)
+    got_dl = sim.pairwise_best_np(pd.Series(a1), pd.Series(a2),
+                                  "damerau_levenshtein")
+    assert np.allclose(got_dl, want_dl, equal_nan=True)
