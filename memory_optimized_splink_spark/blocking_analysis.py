@@ -115,7 +115,12 @@ def _pre_filter_count(nodes: DataFrame, rule: BlockingRule,
         from .operators.brs import count_comparisons_for_keys_link
         return count_comparisons_for_keys_link(tables[0], tables[1],
                                                tuple(rule.keys))
-    grouped = nodes.groupBy(
+    # null keys never equi-match: exclude them like the reference's
+    # group-by-USING-key count does (blocking_analysis.py:157+)
+    cond = F.expr(rule.keys[0]).isNotNull()
+    for k in rule.keys[1:]:
+        cond = cond & F.expr(k).isNotNull()
+    grouped = nodes.where(cond).groupBy(
         *[F.expr(k).alias(f"_k{j}") for j, k in enumerate(rule.keys)]).agg(
         F.count(F.lit(1)).alias("n"))
     row = grouped.agg(F.sum(F.col("n") * F.col("n")).alias("c")).collect()[0]
@@ -157,11 +162,18 @@ def count_comparisons_from_blocking_rule(
     if not compute_post_filter_count:
         return out
     pre = out["number_of_comparisons_generated_pre_filter_conditions"]
-    if pre > max_rows_limit:
-        raise ValueError(
-            f"Blocking rule would create {pre} comparisons pre-filter; "
-            f"this exceeds max_rows_limit={max_rows_limit}. Tighten the "
-            "rule or raise the limit.")
+    if pre >= max_rows_limit:
+        # reference blocking_analysis.py:514-524: warn and report, don't
+        # raise — the pre-filter count is the answer the caller needed
+        import warnings
+        warnings.warn(
+            f"Computation of the post-filter count was skipped: the rule "
+            f"generates {pre:.3e} comparisons pre-filter, over "
+            f"max_rows_limit={max_rows_limit:.2e}. Raise max_rows_limit "
+            f"above {pre:.3e} to force it.")
+        out["number_of_comparisons_to_be_scored_post_filter_conditions"] = \
+            "exceeded max_rows_limit, see warning"
+        return out
     from dataclasses import replace
     pairs = block_using_rules(nodes, replace(settings,
                                              blocking_rules=(rule,)))
@@ -192,6 +204,16 @@ def cumulative_comparisons_to_be_scored_from_blocking_rules_data(
     nodes, settings = _combined_nodes(tables, link_type,
                                       unique_id_column_name,
                                       source_dataset_column_name)
+    for r in rules:
+        pre = _pre_filter_count(nodes, r, link_type, tables)
+        if pre >= max_rows_limit:
+            # reference blocking_analysis.py:306-313 raises before running
+            # the join — the safety valve for overly loose rules
+            raise ValueError(
+                f"Blocking rule {r.label or r.sql!r} would create {pre} "
+                f"comparisons pre-filter.\nThis exceeds the max_rows_limit "
+                f"of {max_rows_limit}.\nPlease tighten the blocking rule "
+                "or increase the max_rows_limit.")
     pairs = block_using_rules(nodes, replace(settings,
                                              blocking_rules=tuple(rules)))
     per = (pairs.groupBy("match_key")
@@ -274,5 +296,9 @@ def n_largest_blocks(
         # never enters, so a single table is analysed directly
         nodes = tables[0]
     else:
-        nodes, _ = _combined_nodes(tables, link_type, "unique_id", None)
+        # block counting groups by the rule keys only — no id column is
+        # needed, so a plain name-union suffices for any table schemas
+        nodes = tables[0]
+        for t in tables[1:]:
+            nodes = nodes.unionByName(t, allowMissingColumns=True)
     return _nlb(nodes, rule, n_largest)

@@ -45,7 +45,7 @@ def NullLevel(col_name, valid_string_pattern: str = None
         l, r = _ce_pair_sql(ce)
         cond = f"({l}) IS NULL OR ({r}) IS NULL"
         if valid_string_pattern:
-            p = valid_string_pattern.replace("'", "\\'")
+            p = valid_string_pattern.replace("\\", "\\\\").replace("'", "\\'")
             cond += (f" OR NOT (({l}) RLIKE '{p}')"
                      f" OR NOT (({r}) RLIKE '{p}')")
         return ComparisonLevel("null", column=ce.name,
@@ -53,7 +53,7 @@ def NullLevel(col_name, valid_string_pattern: str = None
                                sql_condition=cond)
     col_name = ce.name
     if valid_string_pattern:
-        p = valid_string_pattern.replace("'", "\\'")
+        p = valid_string_pattern.replace("\\", "\\\\").replace("'", "\\'")
         return ComparisonLevel(
             "null", column=col_name, label="null_or_invalid",
             sql_condition=(
@@ -108,19 +108,17 @@ def LiteralMatchLevel(col_name: str, literal_value: str,
 
 def ColumnsReversedLevel(col_name_1: str, col_name_2: str,
                          symmetrical: bool = False) -> ComparisonLevel:
-    """a_l = b_r AND b_l = a_r (reference cll:356). The engine's
-    columns_reversed kind is the symmetrical=False form; symmetrical adds
-    the OR of the direct equality (reference behavior)."""
-    base = ComparisonLevel("columns_reversed", column=col_name_1,
-                           column2=col_name_2)
-    if not symmetrical:
-        return base
-    from .comparison_library import Or
-    direct = ComparisonLevel(
-        "custom", label="direct_both",
-        sql_condition=(f"{col_name_1}_l = {col_name_1}_r AND "
-                       f"{col_name_2}_l = {col_name_2}_r"))
-    return Or(base, direct, label=f"reversed_or_direct_{col_name_1}")
+    """Reference cll:356-396: default (symmetrical=False) is the
+    ONE-directional `col1_l = col2_r`; symmetrical=True requires equality
+    in both directions (`col1_l = col2_r AND col1_r = col2_l`) — which is
+    exactly the engine's native columns_reversed kind."""
+    if symmetrical:
+        return ComparisonLevel("columns_reversed", column=col_name_1,
+                               column2=col_name_2)
+    return ComparisonLevel(
+        "custom", column=col_name_1,
+        label=f"reversed_{col_name_1}_{col_name_2}_one_direction",
+        sql_condition=f"{col_name_1}_l = {col_name_2}_r")
 
 
 # SQL-callable comparator names for expression inputs (builtin levenshtein;

@@ -463,32 +463,28 @@ def DateOfBirthComparison(
         datetime_metrics=("month", "year", "year"),
         datetime_format: str = None,
         invalid_dates_as_null: bool = True) -> Comparison:
-    """Reference comparison_library.py:710: exact, day/month-swap, graded
-    absolute date differences, else."""
+    """Reference comparison_library.py:710-830: null (invalid dates as
+    null when parsing strings), exact, Damerau-Levenshtein <= 1 on the
+    date STRING (catches single-digit typos and day-month transposes),
+    graded absolute date differences, else."""
     base = _time_difference_comparison(
         col_name, input_is_string=input_is_string,
         metrics=datetime_metrics, thresholds=datetime_thresholds,
         datetime_format=datetime_format, term_frequency_adjustments=False,
         invalid_dates_as_null=invalid_dates_as_null)
-    # insert the reference's day-month-swap level (substr-swapped ISO dates)
-    # right after exact match
-    col = col_name
+    # the reference's second level: DL<=1 on the string form
+    # (comparison_library.py:803-807); non-string inputs are cast
     if input_is_string:
-        swap = ComparisonLevel(
-            "custom", label="day_month_swap",
-            sql_condition=(
-                f"concat(substr({col}_l, 1, 4), '-', "
-                f"substr({col}_l, 9, 2), '-', substr({col}_l, 6, 2)) "
-                f"= {col}_r"))
+        dl = ComparisonLevel("damerau_levenshtein", column=col_name,
+                             threshold=1, label="dl_1_on_date_string")
     else:
-        swap = ComparisonLevel(
-            "custom", label="day_month_swap",
-            sql_condition=(
-                f"make_date(year({col}_l), day({col}_l), month({col}_l)) "
-                f"= to_date({col}_r)"))
+        from .functions.column_expression import ColumnExpression
+        from . import comparison_level_library as cll
+        dl = cll.DamerauLevenshteinLevel(
+            ColumnExpression(col_name).cast_to_string(), 1)
     levels = list(base.levels)
     return Comparison(base.name, base.column,
-                      tuple(levels[:2] + [swap] + levels[2:]))
+                      tuple(levels[:2] + [dl] + levels[2:]))
 
 
 def PostcodeComparison(col_name: str = "postcode") -> Comparison:
@@ -502,15 +498,19 @@ def EmailComparison(col_name: str = "email") -> Comparison:
 def NameComparison(col_name: str,
                    jaro_winkler_thresholds=(0.92, 0.88, 0.7),
                    dmeta_col_name: str = None) -> Comparison:
-    """Reference comparison_library.py:1002: exact + graded JW levels,
-    optionally a double-metaphone level before the loosest JW."""
-    levels = [_null(), ComparisonLevel("exact")]
+    """Reference comparison_library.py:1002-1085: TF-adjusted exact match,
+    JW levels >= 0.88, then (when a dmeta array column is provided) an
+    array-intersect level on it, then the looser JW levels."""
+    levels = [_null(),
+              ComparisonLevel("exact", tf_adjustment=True)]
     thresholds = _iter(jaro_winkler_thresholds)
-    for i, t in enumerate(thresholds):
-        if dmeta_col_name is not None and i == len(thresholds) - 1:
-            levels.append(ComparisonLevel("dmetaphone_alt",
-                                          column=col_name))
-        levels.append(ComparisonLevel("jaro_winkler", threshold=t))
+    levels += [ComparisonLevel("jaro_winkler", threshold=t)
+               for t in thresholds if t >= 0.88]
+    if dmeta_col_name is not None:
+        levels.append(ComparisonLevel("array_intersect",
+                                      column=dmeta_col_name, threshold=1))
+    levels += [ComparisonLevel("jaro_winkler", threshold=t)
+               for t in thresholds if t < 0.88]
     levels.append(_else())
     return Comparison(col_name, col_name, tuple(levels))
 
@@ -519,20 +519,24 @@ def ForenameSurnameComparison(
         forename_col_name: str, surname_col_name: str,
         jaro_winkler_thresholds=(0.92, 0.88),
         forename_surname_concat_col_name: str = None) -> Comparison:
-    """Reference comparison_library.py:1087. When a pre-concatenated
-    forename||surname column exists, exact-both is an (optionally
-    TF-adjustable) single-column equality on it."""
+    """Reference comparison_library.py:1087-1189: null only when BOTH
+    name parts are null (And of null levels), TF-adjusted exact match
+    (on the pre-concatenated column when provided), symmetrical
+    columns-reversed, JW-both levels, then TF-adjusted surname-only and
+    forename-only exact levels."""
     if forename_surname_concat_col_name:
         exact_both = ComparisonLevel(
             "exact", column=forename_surname_concat_col_name,
-            label="exact_forename_surname")
+            tf_adjustment=True, label="exact_forename_surname")
     else:
         exact_both = ComparisonLevel(
             "custom", label="exact_both",
             sql_condition=(
                 f"{forename_col_name}_l = {forename_col_name}_r AND "
                 f"{surname_col_name}_l = {surname_col_name}_r"))
-    levels = [ComparisonLevel("null", column=forename_col_name),
+    levels = [And(ComparisonLevel("null", column=forename_col_name),
+                  ComparisonLevel("null", column=surname_col_name),
+                  label="both_null"),
               exact_both,
               ComparisonLevel("columns_reversed", column=forename_col_name,
                               column2=surname_col_name)]
@@ -545,9 +549,9 @@ def ForenameSurnameComparison(
             label=f"jw_both_{t}"))
     levels += [
         ComparisonLevel("exact", column=surname_col_name,
-                        label="surname_only"),
+                        tf_adjustment=True, label="surname_only"),
         ComparisonLevel("exact", column=forename_col_name,
-                        label="forename_only"),
+                        tf_adjustment=True, label="forename_only"),
         _else(),
     ]
     return Comparison("forename_surname", forename_col_name, tuple(levels))

@@ -213,10 +213,17 @@ def profile_columns(df, db_api=None, column_expressions=None,
     (profile_data.py:205-211 signature: table, db_api,
     column_expressions) — the multi-panel profiler chart spec (see
     charts.profile_columns_chart_spec; data aggregation is distributed,
-    payload driver-bounded). `db_api` is accepted for signature parity and
-    ignored; `columns` is this engine's original keyword, kept as an
-    alias of column_expressions."""
+    payload driver-bounded). `db_api` is accepted for signature parity
+    and ignored; `columns` is this engine's original keyword, kept as an
+    alias — and a list passed positionally where db_api sits is treated
+    as the column list, so pre-existing positional callers keep working."""
     from .charts import profile_columns_chart_spec
+    if isinstance(db_api, (list, tuple)):
+        if column_expressions is not None:
+            raise TypeError(
+                "got a column list in the db_api position AND "
+                "column_expressions")
+        db_api, column_expressions = None, list(db_api)
     cols = column_expressions if column_expressions is not None else columns
     return profile_columns_chart_spec(df, columns=cols, top_n=top_n,
                                       bottom_n=bottom_n)

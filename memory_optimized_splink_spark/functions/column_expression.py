@@ -21,8 +21,11 @@ from pyspark.sql import Column, functions as F
 
 
 def _sq(s: str) -> str:
-    """Single-quote a SQL string literal."""
-    return "'" + s.replace("'", "\\'") + "'"
+    """Single-quote a SQL string literal. Spark's parser unescapes string
+    literals (escapedStringLiterals=false by default), so backslashes —
+    ubiquitous in regex patterns like \\d and \\w — must be doubled or the
+    rendered SQL silently corrupts the pattern."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
 @dataclass(frozen=True)

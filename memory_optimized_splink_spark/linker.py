@@ -118,10 +118,21 @@ class SparkLinker:
         named = (dict(tables) if isinstance(tables, dict) else
                  {f"__splink__input_table_{i}": df
                   for i, df in enumerate(tables)})
-        if len(named) > 1 and self.settings.link_type == "dedupe_only":
+        if len(named) == 1:
+            # a one-element list is just the table — don't tag or rewrite
+            # ids (a link_only single table carries its own source_dataset
+            # column, the standard reference pattern)
+            return next(iter(named.values()))
+        if self.settings.link_type == "dedupe_only":
             raise ValueError(
                 "multiple input tables need link_type 'link_only' or "
                 "'link_and_dedupe'")
+        sds_existing = self.settings.source_dataset_column_name or \
+            "source_dataset"
+        if any(sds_existing in df.columns for df in named.values()):
+            raise ValueError(
+                f"input tables already carry a {sds_existing!r} column; "
+                "pass ONE pre-concatenated table instead of a list")
         uid = self.settings.unique_id_column_name
         sds = self.settings.source_dataset_column_name or "source_dataset"
         parts = []

@@ -271,8 +271,21 @@ class Settings:
                 object.__setattr__(self, f_, tuple(v))
 
     def with_defaults(self) -> "Settings":
+        # TF needs are declared on levels (tf_adjustment) — collect any the
+        # caller didn't list in tf_columns, so library comparisons with
+        # default-on TF (NameComparison etc.) work in plain Settings too
+        tf_cols = list(self.tf_columns)
+        for comp in self.comparisons:
+            for top in comp.levels:
+                for lv in top.walk():
+                    c = lv.column or comp.column
+                    if lv.tf_adjustment and c and c not in tf_cols \
+                            and c not in self.tf_array_columns:
+                        tf_cols.append(c)
         return replace(
-            self, comparisons=tuple(c.with_defaults() for c in self.comparisons)
+            self,
+            comparisons=tuple(c.with_defaults() for c in self.comparisons),
+            tf_columns=tuple(tf_cols),
         )
 
     # ----------------------------------------------------------- validation

@@ -29,9 +29,10 @@ def test_count_comparisons_dedupe(people):
     out = count_comparisons_from_blocking_rule(
         table_or_tables=people, blocking_rule=block_on("city"),
         link_type="dedupe_only")
-    # pre-filter: raw self equi join = sum n^2 = 3^2 + 2^2 + 1 (null grp)
+    # pre-filter: raw self equi join = sum n^2 = 3^2 + 2^2; the NULL-city
+    # group never equi-matches so it is excluded (reference semantics)
     assert out["number_of_comparisons_generated_pre_filter_conditions"] \
-        == 9 + 4 + 1
+        == 9 + 4
     # post-filter: C(3,2) + C(2,2) = 3 + 1 (null key never equi-matches)
     assert out[
         "number_of_comparisons_to_be_scored_post_filter_conditions"] == 4
@@ -44,9 +45,21 @@ def test_count_comparisons_dedupe(people):
         "number_of_comparisons_to_be_scored_post_filter_conditions"] \
         == "not computed"
 
-    with pytest.raises(ValueError, match="max_rows_limit"):
-        count_comparisons_from_blocking_rule(
+    # over the limit: warn and skip the post-filter join, like the
+    # reference (blocking_analysis.py:514-524) — never raise here
+    with pytest.warns(UserWarning, match="max_rows_limit"):
+        capped = count_comparisons_from_blocking_rule(
             table_or_tables=people, blocking_rule=block_on("city"),
+            link_type="dedupe_only", max_rows_limit=3)
+    assert capped[
+        "number_of_comparisons_to_be_scored_post_filter_conditions"] \
+        == "exceeded max_rows_limit, see warning"
+
+
+def test_cumulative_data_raises_over_limit(people):
+    with pytest.raises(ValueError, match="max_rows_limit"):
+        cumulative_comparisons_to_be_scored_from_blocking_rules_data(
+            table_or_tables=people, blocking_rules=[block_on("city")],
             link_type="dedupe_only", max_rows_limit=3)
 
 

@@ -133,19 +133,33 @@ def test_custom_comparison_accepts_levels_and_dicts():
     assert c.levels[1].kind == "exact" and c.levels[1].m == 0.8
 
 
-def test_date_of_birth_comparison_has_swap_level():
+def test_date_of_birth_comparison_has_dl_level():
+    """Reference DOB levels (comparison_library.py:784-827): null, exact,
+    DL<=1 on the date string, graded date diffs, else."""
     c = cl.DateOfBirthComparison("dob", input_is_string=True)
-    labels = [lv.label for lv in c.levels]
-    assert "day_month_swap" in labels
-    assert labels.index("day_month_swap") == 2  # right after exact
+    kinds = [lv.kind for lv in c.levels]
+    assert kinds[2] == "damerau_levenshtein"  # right after exact
+    assert c.levels[2].threshold == 1
+    # date input: DL runs on the string CAST (rendered custom SQL)
+    c2 = cl.DateOfBirthComparison("dob", input_is_string=False)
+    assert c2.levels[2].kind == "custom"
+    assert "CAST(dob_l AS STRING)" in c2.levels[2].sql_condition
 
 
 def test_forename_surname_alias_shape():
+    """Reference shape (comparison_library.py:1134-1189): And-of-nulls,
+    exact-both, symmetrical columns-reversed, JW-both levels, TF'd
+    surname-only / forename-only exacts, else."""
     c = cl.ForenameSurnameComparison("first", "last")
     kinds = [lv.kind for lv in c.levels]
-    assert kinds[0] == "null" and kinds[2] == "columns_reversed"
+    assert kinds[0] == "and" and c.levels[0].is_null_level
+    assert kinds[2] == "columns_reversed"
     assert kinds[3] == "and"  # JW-both composed level
     assert kinds[-3:] == ["exact", "exact", "else"]
+    assert c.levels[-3].tf_adjustment and c.levels[-2].tf_adjustment
+    # null fires only when BOTH parts are null
+    subs = [s.column for s in c.levels[0].sub_levels]
+    assert subs == ["first", "last"]
 
 
 # ------------------------------------------------------ level aliases
@@ -181,10 +195,13 @@ def test_null_level_with_valid_pattern_and_custom_level():
 
 
 def test_columns_reversed_symmetrical():
+    """Reference cll:385-388: default is ONE-directional a_l = b_r;
+    symmetrical=True is the both-directions AND (the native kind)."""
     plain = cll.ColumnsReversedLevel("a", "b")
-    assert plain.kind == "columns_reversed"
+    assert plain.kind == "custom"
+    assert plain.sql_condition == "a_l = b_r"
     sym = cll.ColumnsReversedLevel("a", "b", symmetrical=True)
-    assert sym.kind == "or" and len(sym.sub_levels) == 2
+    assert sym.kind == "columns_reversed" and sym.column2 == "b"
 
 
 # ------------------------------------------------- blocking rule aliases
