@@ -1719,6 +1719,56 @@ def q_array_name_vectors(spark, sf_dir):
         "gamma_tokens", "gamma_name", "gamma_aliases", "gamma_qgram")
 
 
+# --- §2.7: the ForenameSurnameComparison composite at the oracle gate --------
+# Replays the reference's full level ladder (comparison_library.py:1134-1189
+# as built by cl.ForenameSurnameComparison): And-of-nulls, exact-both,
+# symmetrical columns-reversed, JW-both at 0.92/0.88, surname-only,
+# forename-only, else. Gammas are 6..0 over the 7 non-null levels.
+
+_JW_FN = "jaro_winkler_similarity(fn_l, fn_r)"
+_JW_LN = "jaro_winkler_similarity(ln_l, ln_r)"
+
+
+@q("forename_surname_vectors",
+   f"""WITH {RICH_PAIRS_CTE}
+SELECT match_key, unique_id_l, unique_id_r,
+  CASE
+    WHEN (fn_l IS NULL OR fn_r IS NULL) AND (ln_l IS NULL OR ln_r IS NULL)
+      THEN -1
+    WHEN fn_l = fn_r AND ln_l = ln_r THEN 6
+    WHEN fn_l = ln_r AND fn_r = ln_l THEN 5
+    WHEN {_JW_FN} >= 0.92 AND {_JW_LN} >= 0.92 THEN 4
+    WHEN {_JW_FN} >= 0.88 AND {_JW_LN} >= 0.88 THEN 3
+    WHEN ln_l = ln_r THEN 2
+    WHEN fn_l = fn_r THEN 1
+    ELSE 0 END AS gamma_forename_surname
+FROM rpairs""")
+def q_forename_surname_vectors(spark, sf_dir):
+    """cl.ForenameSurnameComparison through the real operator path:
+    composed And-null / And-JW levels, symmetrical columns_reversed, and
+    the graded exact levels, hash-matched against a DuckDB replay of the
+    reference ladder."""
+    from dataclasses import replace as _replace
+
+    from .comparison_library import ForenameSurnameComparison
+
+    comp = ForenameSurnameComparison("first_name", "last_name")
+    # gammas are TF-independent; strip the composite's default TF flags so
+    # this vectors-only query doesn't require materialized tf_* columns
+    comp = _replace(comp, levels=tuple(
+        _replace(lv, tf_adjustment=False) for lv in comp.levels))
+    s = Settings(
+        comparisons=(comp,),
+        blocking_rules=(block_on("repo"),),
+        probability_two_random_records_match=PRIOR,
+    )
+    nodes = rich_nodes_df(spark, sf_dir)
+    pairs = block_using_rules(nodes, s)
+    return compute_comparison_vectors(pairs, nodes, s).select(
+        "match_key", "unique_id_l", "unique_id_r",
+        "gamma_forename_surname")
+
+
 # --- §2.7: pairwise fuzzy string metrics over array columns ------------------
 # DuckDB replay of PairwiseStringDistanceFunctionLevel for the three
 # non-levenshtein function names (reference comparison_library.py:348-417):
