@@ -102,16 +102,21 @@ def custom_comparison(name: str, col: str | None,
 # ----------------------------------------------------- domain-shaped sugar
 
 def email_comparison(col: str = "email") -> Comparison:
-    """Exact, same local-part, same domain, fuzzy, else
-    (comparison_library.py:951)."""
+    """Exact, same local-part, fuzzy, same domain, else
+    (comparison_library.py:951-1000). Parts are extracted with the
+    reference's own regexes (USERNAME_REGEX '^[^@]+', DOMAIN_REGEX
+    '@([^@]+)$'), null-safe for malformed addresses — array indexing on
+    split() raises under Spark's default ANSI mode when '@' is absent."""
+    user = lambda s: f"nullif(regexp_extract({s}, '^[^@]+', 0), '')"
+    dom = lambda s: f"nullif(regexp_extract({s}, '@([^@]+)$', 1), '')"
     return Comparison(col, col, (
         _null(),
         ComparisonLevel("exact"),
         ComparisonLevel("custom", label="username_match",
-                        sql_condition=f"split({col}_l, '@')[0] = split({col}_r, '@')[0]"),
+                        sql_condition=f"{user(col + '_l')} = {user(col + '_r')}"),
         ComparisonLevel("jaro_winkler", threshold=0.88),
         ComparisonLevel("custom", label="domain_match",
-                        sql_condition=f"split({col}_l, '@')[1] = split({col}_r, '@')[1]"),
+                        sql_condition=f"{dom(col + '_l')} = {dom(col + '_r')}"),
         _else(),
     ))
 

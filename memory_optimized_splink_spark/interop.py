@@ -50,6 +50,14 @@ _FN_MAP = {
     "greatest": "greatest", "least": "least", "round": "round",
     "array_intersect": "array_intersect", "size": "size",
     "cast": "cast", "pow": "pow", "power": "power", "sqrt": "sqrt",
+    # spark-side names this engine's own exports emit (settings_to_
+    # splink_dict serialises custom levels as Spark SQL) — identity
+    # entries so exported models round-trip
+    "try_to_timestamp": "try_to_timestamp", "to_timestamp": "to_timestamp",
+    "unix_timestamp": "unix_timestamp", "to_date": "to_date",
+    "split": "split", "string_split": "split", "element_at": "element_at",
+    "sort_array": "sort_array", "rlike": "rlike",
+    "jaro_winkler": "jaro_winkler", "jaro_sim": "jaro_sim",
 }
 
 # %-style strptime tokens -> Spark datetime pattern letters
