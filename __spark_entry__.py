@@ -3,7 +3,7 @@
 `entry(spark)` runs the flagship dedupe pipeline on sf0.001;
 `queries()` exposes one callable per implemented operator from SURVEY.md §2
 (plus the training-data-pipeline operators); `oracle_sql()` holds the
-DuckDB-equivalent SQL for EVERY query (45/45) — the iterative
+DuckDB-equivalent SQL for EVERY query (46/46) — the iterative
 connected-components queries are checked against WITH RECURSIVE min-label
 transitive-closure oracles with md5(sorted-member-list) cluster ids
 computed identically on both engines.

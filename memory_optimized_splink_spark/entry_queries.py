@@ -1769,6 +1769,115 @@ def q_forename_surname_vectors(spark, sf_dir):
         "gamma_forename_surname")
 
 
+# --- §2.7: DateOfBirth + Email composites at the oracle gate ------------------
+# Replays cl.DateOfBirthComparison(input_is_string=True) — invalid-as-null,
+# exact, DL<=1 on the string, graded elapsed-time levels — and
+# cl.email_comparison — exact, regex local-part match, JW 0.88, regex
+# domain match — on deterministically derived dob/email columns. The
+# derivations (lpad date parts, modular domains, malformed/null slots) are
+# written identically in both engines.
+
+# same-repo doc_ids differ by multiples of 161 (repo = org<id%7>/repo<id%23>)
+# and 161 = 1 (mod 8), so keying variants by doc_id % 8 makes within-block
+# neighbours land on CONSECUTIVE variants; across blocks every cyclic pair
+# combo (i, i+1/2/3) occurs and EVERY gamma level fires (vacuity-checked)
+def _variants_case(div_expr: str, variants: list[str | None]) -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN " + ("NULL" if v is None else f"'{v}'")
+        for i, v in enumerate(variants))
+    return f"CASE ({div_expr}) % 8 {whens} END"
+
+
+_DOB_VARIANTS = [
+    "1960-06-15", "1960-06-15",  # exact pair
+    "1960-06-16",                # DL 1 edit, 1 day -> dl level
+    "1960-06-30",                # 2 edits, 15 days -> month level
+    "1961-02-15",                # 2 edits, ~8 months -> year level
+    "1965-07-15",                # 2 edits, ~5 years -> 10-year level
+    "1999-01-01",                # else
+    "not-a-date",                # invalid -> null level
+]
+_EMAIL_VARIANTS = [
+    "alice.smith@example.com", "alice.smith@example.com",  # exact pair
+    "alice.smith@mail.org",      # same local part
+    "alice.smyth@example.com",   # JW >= 0.88
+    "bob.jones@example.com",     # same domain only
+    "bob.jones@other.net",       # else
+    None,                        # null
+    "broken.email.no.at",        # malformed: no '@'
+]
+_DOB_DERIVE_SPARK = _variants_case("doc_id", _DOB_VARIANTS)
+_DOB_DERIVE_DUCK = _variants_case("doc_id", _DOB_VARIANTS)
+_EMAIL_DERIVE_SPARK = _variants_case("doc_id", _EMAIL_VARIANTS)
+_EMAIL_DERIVE_DUCK = _variants_case("doc_id", _EMAIL_VARIANTS)
+
+_TS = lambda s: f"epoch(try_cast({s} AS TIMESTAMP))"
+_USER = lambda s: f"nullif(regexp_extract({s}, '^[^@]+', 0), '')"
+_DOM = lambda s: f"nullif(regexp_extract({s}, '@([^@]+)$', 1), '')"
+_MONTH_S = 86400 * 365.25 / 12
+_YEAR_S = 86400 * 365.25
+
+
+@q("email_dob_vectors",
+   f"""WITH {RF_CTE},
+derived AS (
+  SELECT unique_id, repo,
+    {_DOB_DERIVE_DUCK} AS dob,
+    {_EMAIL_DERIVE_DUCK} AS email
+  FROM nodes
+),
+dpairs AS (
+  SELECT '0' AS match_key,
+    l.unique_id AS unique_id_l, r.unique_id AS unique_id_r,
+    l.dob AS dob_l, r.dob AS dob_r,
+    l.email AS em_l, r.email AS em_r
+  FROM derived l JOIN derived r ON l.repo = r.repo
+  WHERE l.unique_id < r.unique_id
+)
+SELECT match_key, unique_id_l, unique_id_r,
+  CASE
+    WHEN {_TS('dob_l')} IS NULL OR {_TS('dob_r')} IS NULL THEN -1
+    WHEN dob_l = dob_r THEN 5
+    WHEN damerau_levenshtein(dob_l, dob_r) <= 1 THEN 4
+    WHEN abs({_TS('dob_l')} - {_TS('dob_r')}) <= {_MONTH_S} THEN 3
+    WHEN abs({_TS('dob_l')} - {_TS('dob_r')}) <= {_YEAR_S} THEN 2
+    WHEN abs({_TS('dob_l')} - {_TS('dob_r')}) <= {10 * _YEAR_S} THEN 1
+    ELSE 0 END AS gamma_dob,
+  CASE
+    WHEN em_l IS NULL OR em_r IS NULL THEN -1
+    WHEN em_l = em_r THEN 4
+    WHEN {_USER('em_l')} = {_USER('em_r')} THEN 3
+    WHEN jaro_winkler_similarity(em_l, em_r) >= 0.88 THEN 2
+    WHEN {_DOM('em_l')} = {_DOM('em_r')} THEN 1
+    ELSE 0 END AS gamma_email
+FROM dpairs""")
+def q_email_dob_vectors(spark, sf_dir):
+    """cl.DateOfBirthComparison(input_is_string=True) and
+    cl.email_comparison through the real operator path, hash-matched
+    against a DuckDB replay of the reference ladders (invalid dates as
+    null, DL<=1 on the date string, elapsed-time levels; regex
+    local-part/domain extraction, null-safe for malformed addresses)."""
+    from .comparison_library import DateOfBirthComparison, email_comparison
+
+    nodes = nodes_df(spark, sf_dir).selectExpr(
+        "unique_id", "repo",
+        f"{_DOB_DERIVE_SPARK} AS dob",
+        f"{_EMAIL_DERIVE_SPARK} AS email")
+    s = Settings(
+        comparisons=(
+            DateOfBirthComparison("dob", input_is_string=True),
+            email_comparison("email"),
+        ),
+        blocking_rules=(block_on("repo"),),
+        probability_two_random_records_match=PRIOR,
+    )
+    pairs = block_using_rules(nodes, s)
+    return compute_comparison_vectors(pairs, nodes, s).select(
+        "match_key", "unique_id_l", "unique_id_r",
+        F.col("gamma_dob").alias("gamma_dob"),
+        F.col("gamma_email").alias("gamma_email"))
+
+
 # --- §2.7: pairwise fuzzy string metrics over array columns ------------------
 # DuckDB replay of PairwiseStringDistanceFunctionLevel for the three
 # non-levenshtein function names (reference comparison_library.py:348-417):

@@ -368,3 +368,17 @@ def test_pairwise_budget_slicing_preserves_results(monkeypatch):
     got_dl = sim.pairwise_best_np(pd.Series(a1), pd.Series(a2),
                                   "damerau_levenshtein")
     assert np.allclose(got_dl, want_dl, equal_nan=True)
+
+
+def test_email_dob_oracle_query_exercises_every_level(spark):
+    """The email_dob_vectors EQ query must keep all gamma levels
+    non-vacuous — a hash match over a ladder that never fires is no
+    evidence (both comparisons were review-fixed this round)."""
+    import memory_optimized_splink_spark.entry_queries as eq
+
+    df = eq.QUERIES["email_dob_vectors"](
+        spark, "/root/testdata/sf0.001").cache()
+    dob = {r[0] for r in df.select("gamma_dob").distinct().collect()}
+    email = {r[0] for r in df.select("gamma_email").distinct().collect()}
+    assert dob == {-1, 0, 1, 2, 3, 4, 5}
+    assert email == {-1, 0, 1, 2, 3, 4}
