@@ -102,21 +102,23 @@ def custom_comparison(name: str, col: str | None,
 # ----------------------------------------------------- domain-shaped sugar
 
 def email_comparison(col: str = "email") -> Comparison:
-    """Exact, same local-part, fuzzy, same domain, else
-    (comparison_library.py:951-1000). Parts are extracted with the
-    reference's own regexes (USERNAME_REGEX '^[^@]+', DOMAIN_REGEX
-    '@([^@]+)$'), null-safe for malformed addresses — array indexing on
-    split() raises under Spark's default ANSI mode when '@' is absent."""
+    """Reference EmailComparison ladder (comparison_library.py:951-1000):
+    null, TF-adjusted exact on the full email, exact on the username
+    part, JW >= 0.88 on the full email, JW >= 0.88 on the username part,
+    else. The username is extracted with the reference's own
+    USERNAME_REGEX ('^[^@]+') via nullif(regexp_extract(...)) — null-safe
+    for malformed addresses (array indexing on split() raises under
+    Spark's default ANSI mode when '@' is absent)."""
     user = lambda s: f"nullif(regexp_extract({s}, '^[^@]+', 0), '')"
-    dom = lambda s: f"nullif(regexp_extract({s}, '@([^@]+)$', 1), '')"
     return Comparison(col, col, (
         _null(),
-        ComparisonLevel("exact"),
+        ComparisonLevel("exact", tf_adjustment=True),
         ComparisonLevel("custom", label="username_match",
                         sql_condition=f"{user(col + '_l')} = {user(col + '_r')}"),
         ComparisonLevel("jaro_winkler", threshold=0.88),
-        ComparisonLevel("custom", label="domain_match",
-                        sql_condition=f"{dom(col + '_l')} = {dom(col + '_r')}"),
+        ComparisonLevel("custom", label="username_jw_088",
+                        sql_condition=(f"jaro_winkler({user(col + '_l')}, "
+                                       f"{user(col + '_r')}) >= 0.88")),
         _else(),
     ))
 

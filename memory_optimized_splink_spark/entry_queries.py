@@ -1719,18 +1719,81 @@ def q_array_name_vectors(spark, sf_dir):
         "gamma_tokens", "gamma_name", "gamma_aliases", "gamma_qgram")
 
 
+# same-repo doc_ids differ by multiples of 161 (repo = org<id%7>/repo<id%23>)
+# and 161 = -1 (mod 9), so keying variants by doc_id % 9 makes within-block
+# members land on CYCLICALLY ADJACENT variants (distances 1..3); the
+# variant tables below are designed so those combos realize EVERY gamma
+# level of each ladder (vacuity test-pinned). Identical SQL runs in both
+# engines — one constant per column, no per-engine fork to desynchronize.
+def _variants_case(variants: list[str | None]) -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN " + ("NULL" if v is None else f"'{v}'")
+        for i, v in enumerate(variants))
+    return f"CASE (doc_id % 9) {whens} END"
+
+
+_DOB_DERIVE = _variants_case([
+    "1960-06-15", "1960-06-15",  # (0,1): exact
+    "1960-06-16",                # vs base: DL 1 edit, 1 day -> dl level
+    "1960-06-30",                # vs base: 2 edits, 15 days -> month level
+    "1961-02-15",                # vs 2/3: year level
+    "1965-07-15",                # vs 3/4: 10-year level
+    "1999-01-01",                # else vs anything near
+    "not-a-date",                # invalid -> null level
+    "1970-01-01",                # else filler (9th slot)
+])
+# JW values (bit-identical to DuckDB, computed with this repo's kernels):
+# full(alice.smith@example.com, alice.smyth@example.com) = .9826 >= .88
+# with usernames unequal -> full-JW level; user(catherine.jones,
+# catherine.jomes) = .9733 >= .88 while full = .8469 < .88 -> user-JW level
+_EMAIL_DERIVE = _variants_case([
+    "alice.smith@example.com", "alice.smith@example.com",  # exact
+    "alice.smith@mail.org",      # same local part, full differs
+    "alice.smyth@example.com",   # full JW >= .88, user not exact
+    "catherine.jones@aa.com",
+    "catherine.jomes@wholly-unrelated-domain-inc.org",  # user-JW only
+    "bob@qq.net",                # else vs neighbours
+    None,                        # null
+    "broken.email.no.at",        # malformed: username = whole string
+])
+# forename/surname variant pairs: exact-both, columns-reversed, JW-both
+# >= .92 (alices/smiths .9667), JW-both in [.88,.92) (alixe .9067 /
+# smyth .8933), surname-only, forename-only, else, both-null
+_FN_DERIVE = _variants_case([
+    "alice", "alice", "smith", "alices", "alixe", "bob", "alixe",
+    None, None])
+_LN_DERIVE = _variants_case([
+    "smith", "smith", "alice", "smiths", "smyth", "smyth", "jones",
+    None, None])
+
+
 # --- §2.7: the ForenameSurnameComparison composite at the oracle gate --------
 # Replays the reference's full level ladder (comparison_library.py:1134-1189
 # as built by cl.ForenameSurnameComparison): And-of-nulls, exact-both,
 # symmetrical columns-reversed, JW-both at 0.92/0.88, surname-only,
-# forename-only, else. Gammas are 6..0 over the 7 non-null levels.
+# forename-only, else. Gammas are 6..0 over the 7 non-null levels; the
+# derived variant name columns make every level fire (vacuity-pinned).
 
 _JW_FN = "jaro_winkler_similarity(fn_l, fn_r)"
 _JW_LN = "jaro_winkler_similarity(ln_l, ln_r)"
 
 
 @q("forename_surname_vectors",
-   f"""WITH {RICH_PAIRS_CTE}
+   f"""WITH {RF_CTE},
+named AS (
+  SELECT unique_id, repo,
+    {_FN_DERIVE} AS first_name,
+    {_LN_DERIVE} AS last_name
+  FROM nodes
+),
+npairs AS (
+  SELECT '0' AS match_key,
+    l.unique_id AS unique_id_l, r.unique_id AS unique_id_r,
+    l.first_name AS fn_l, r.first_name AS fn_r,
+    l.last_name AS ln_l, r.last_name AS ln_r
+  FROM named l JOIN named r ON l.repo = r.repo
+  WHERE l.unique_id < r.unique_id
+)
 SELECT match_key, unique_id_l, unique_id_r,
   CASE
     WHEN (fn_l IS NULL OR fn_r IS NULL) AND (ln_l IS NULL OR ln_r IS NULL)
@@ -1742,12 +1805,13 @@ SELECT match_key, unique_id_l, unique_id_r,
     WHEN ln_l = ln_r THEN 2
     WHEN fn_l = fn_r THEN 1
     ELSE 0 END AS gamma_forename_surname
-FROM rpairs""")
+FROM npairs""")
 def q_forename_surname_vectors(spark, sf_dir):
     """cl.ForenameSurnameComparison through the real operator path:
     composed And-null / And-JW levels, symmetrical columns_reversed, and
     the graded exact levels, hash-matched against a DuckDB replay of the
-    reference ladder."""
+    reference ladder on variant name columns designed to exercise every
+    level."""
     from dataclasses import replace as _replace
 
     from .comparison_library import ForenameSurnameComparison
@@ -1762,7 +1826,10 @@ def q_forename_surname_vectors(spark, sf_dir):
         blocking_rules=(block_on("repo"),),
         probability_two_random_records_match=PRIOR,
     )
-    nodes = rich_nodes_df(spark, sf_dir)
+    nodes = nodes_df(spark, sf_dir).selectExpr(
+        "unique_id", "repo",
+        f"{_FN_DERIVE} AS first_name",
+        f"{_LN_DERIVE} AS last_name")
     pairs = block_using_rules(nodes, s)
     return compute_comparison_vectors(pairs, nodes, s).select(
         "match_key", "unique_id_l", "unique_id_r",
@@ -1772,58 +1839,32 @@ def q_forename_surname_vectors(spark, sf_dir):
 # --- §2.7: DateOfBirth + Email composites at the oracle gate ------------------
 # Replays cl.DateOfBirthComparison(input_is_string=True) — invalid-as-null,
 # exact, DL<=1 on the string, graded elapsed-time levels — and
-# cl.email_comparison — exact, regex local-part match, JW 0.88, regex
-# domain match — on deterministically derived dob/email columns. The
-# derivations (lpad date parts, modular domains, malformed/null slots) are
-# written identically in both engines.
+# cl.email_comparison — exact, regex local-part match, JW 0.88 on the
+# full email and on the local part (the reference EmailComparison ladder)
+# — on deterministically derived dob/email variant columns.
 
-# same-repo doc_ids differ by multiples of 161 (repo = org<id%7>/repo<id%23>)
-# and 161 = 1 (mod 8), so keying variants by doc_id % 8 makes within-block
-# neighbours land on CONSECUTIVE variants; across blocks every cyclic pair
-# combo (i, i+1/2/3) occurs and EVERY gamma level fires (vacuity-checked)
-def _variants_case(div_expr: str, variants: list[str | None]) -> str:
-    whens = " ".join(
-        f"WHEN {i} THEN " + ("NULL" if v is None else f"'{v}'")
-        for i, v in enumerate(variants))
-    return f"CASE ({div_expr}) % 8 {whens} END"
-
-
-_DOB_VARIANTS = [
-    "1960-06-15", "1960-06-15",  # exact pair
-    "1960-06-16",                # DL 1 edit, 1 day -> dl level
-    "1960-06-30",                # 2 edits, 15 days -> month level
-    "1961-02-15",                # 2 edits, ~8 months -> year level
-    "1965-07-15",                # 2 edits, ~5 years -> 10-year level
-    "1999-01-01",                # else
-    "not-a-date",                # invalid -> null level
-]
-_EMAIL_VARIANTS = [
-    "alice.smith@example.com", "alice.smith@example.com",  # exact pair
-    "alice.smith@mail.org",      # same local part
-    "alice.smyth@example.com",   # JW >= 0.88
-    "bob.jones@example.com",     # same domain only
-    "bob.jones@other.net",       # else
-    None,                        # null
-    "broken.email.no.at",        # malformed: no '@'
-]
-_DOB_DERIVE_SPARK = _variants_case("doc_id", _DOB_VARIANTS)
-_DOB_DERIVE_DUCK = _variants_case("doc_id", _DOB_VARIANTS)
-_EMAIL_DERIVE_SPARK = _variants_case("doc_id", _EMAIL_VARIANTS)
-_EMAIL_DERIVE_DUCK = _variants_case("doc_id", _EMAIL_VARIANTS)
 
 _TS = lambda s: f"epoch(try_cast({s} AS TIMESTAMP))"
 _USER = lambda s: f"nullif(regexp_extract({s}, '^[^@]+', 0), '')"
-_DOM = lambda s: f"nullif(regexp_extract({s}, '@([^@]+)$', 1), '')"
 _MONTH_S = 86400 * 365.25 / 12
 _YEAR_S = 86400 * 365.25
+
+
+def _strip_tf(comp: Comparison) -> Comparison:
+    """Gammas are TF-independent; vectors-only oracle queries drop the
+    library composites' default TF flags so they don't require
+    materialized tf_* columns."""
+    from dataclasses import replace as _rp
+    return _rp(comp, levels=tuple(
+        _rp(lv, tf_adjustment=False) for lv in comp.levels))
 
 
 @q("email_dob_vectors",
    f"""WITH {RF_CTE},
 derived AS (
   SELECT unique_id, repo,
-    {_DOB_DERIVE_DUCK} AS dob,
-    {_EMAIL_DERIVE_DUCK} AS email
+    {_DOB_DERIVE} AS dob,
+    {_EMAIL_DERIVE} AS email
   FROM nodes
 ),
 dpairs AS (
@@ -1848,25 +1889,31 @@ SELECT match_key, unique_id_l, unique_id_r,
     WHEN em_l = em_r THEN 4
     WHEN {_USER('em_l')} = {_USER('em_r')} THEN 3
     WHEN jaro_winkler_similarity(em_l, em_r) >= 0.88 THEN 2
-    WHEN {_DOM('em_l')} = {_DOM('em_r')} THEN 1
+    WHEN jaro_winkler_similarity({_USER('em_l')}, {_USER('em_r')}) >= 0.88
+      THEN 1
     ELSE 0 END AS gamma_email
 FROM dpairs""")
 def q_email_dob_vectors(spark, sf_dir):
     """cl.DateOfBirthComparison(input_is_string=True) and
     cl.email_comparison through the real operator path, hash-matched
     against a DuckDB replay of the reference ladders (invalid dates as
-    null, DL<=1 on the date string, elapsed-time levels; regex
-    local-part/domain extraction, null-safe for malformed addresses)."""
+    null, DL<=1 on the date string, elapsed-time levels; email username
+    extraction with the reference regex, JW on full and username,
+    null-safe for malformed addresses)."""
     from .comparison_library import DateOfBirthComparison, email_comparison
+    from .functions.similarity import register_udfs
 
+    # the email ladder's username-JW level calls the jaro_winkler UDF by
+    # SQL name (SparkLinker registers it; standalone queries must too)
+    register_udfs(spark)
     nodes = nodes_df(spark, sf_dir).selectExpr(
         "unique_id", "repo",
-        f"{_DOB_DERIVE_SPARK} AS dob",
-        f"{_EMAIL_DERIVE_SPARK} AS email")
+        f"{_DOB_DERIVE} AS dob",
+        f"{_EMAIL_DERIVE} AS email")
     s = Settings(
         comparisons=(
             DateOfBirthComparison("dob", input_is_string=True),
-            email_comparison("email"),
+            _strip_tf(email_comparison("email")),
         ),
         blocking_rules=(block_on("repo"),),
         probability_two_random_records_match=PRIOR,
@@ -1874,8 +1921,7 @@ def q_email_dob_vectors(spark, sf_dir):
     pairs = block_using_rules(nodes, s)
     return compute_comparison_vectors(pairs, nodes, s).select(
         "match_key", "unique_id_l", "unique_id_r",
-        F.col("gamma_dob").alias("gamma_dob"),
-        F.col("gamma_email").alias("gamma_email"))
+        "gamma_dob", "gamma_email")
 
 
 # --- §2.7: pairwise fuzzy string metrics over array columns ------------------

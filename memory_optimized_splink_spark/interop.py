@@ -50,12 +50,18 @@ _FN_MAP = {
     "greatest": "greatest", "least": "least", "round": "round",
     "array_intersect": "array_intersect", "size": "size",
     "cast": "cast", "pow": "pow", "power": "power", "sqrt": "sqrt",
-    # spark-side names this engine's own exports emit (settings_to_
-    # splink_dict serialises custom levels as Spark SQL) — identity
-    # entries so exported models round-trip
+}
+
+# spark-dialect-ONLY identity entries: names this engine's own exports
+# emit (settings_to_splink_dict serialises custom levels as Spark SQL),
+# so exported models round-trip. They must NOT apply to duckdb imports —
+# e.g. DuckDB has no `split`, and mapping its `string_split` (literal
+# separator, 1-indexed lists) to Spark's `split` (regex, 0-indexed)
+# would silently misscore; unknown duckdb functions refuse loudly.
+_FN_MAP_SPARK = {
     "try_to_timestamp": "try_to_timestamp", "to_timestamp": "to_timestamp",
     "unix_timestamp": "unix_timestamp", "to_date": "to_date",
-    "split": "split", "string_split": "split", "element_at": "element_at",
+    "split": "split", "element_at": "element_at",
     "sort_array": "sort_array", "rlike": "rlike",
     "jaro_winkler": "jaro_winkler", "jaro_sim": "jaro_sim",
 }
@@ -101,11 +107,14 @@ def _translate_sql(sql: str, dialect: str) -> str:
         raise UnsupportedSettingsError(
             f"sql_dialect {dialect!r} not supported (duckdb/spark only)")
     out = _translate_strptime_formats(out)
+    fn_map = dict(_FN_MAP)
+    if dialect == "spark":
+        fn_map.update(_FN_MAP_SPARK)
     unknown = []
 
     def rename(m: re.Match) -> str:
         name = m.group(1)
-        mapped = _FN_MAP.get(name.lower())
+        mapped = fn_map.get(name.lower())
         if mapped is None:
             unknown.append(name)
             return m.group(0)

@@ -95,8 +95,11 @@ def test_email_and_name_comparisons(spark):
     rows = [
         ("a@x.com", "a@x.com", 4),
         ("a@x.com", "a@y.com", 3),   # same username
-        ("john.smith@x.com", "john.smyth@y.com", 2),  # jw >= .88
-        ("a@x.com", "qqqqqqq@x.com", 1),   # same domain, jw < .88
+        ("john.smith@x.com", "john.smyth@y.com", 2),  # full jw .95
+        # username jw .9733 >= .88 while full jw .8469 < .88
+        ("catherine.jones@aa.com",
+         "catherine.jomes@wholly-unrelated-domain-inc.org", 1),
+        ("a@x.com", "qqqqqqq@x.com", 0),  # same domain is NOT a level
         ("a@x.com", "zz@qq.org", 0),
         (None, "a@x.com", -1),
     ]

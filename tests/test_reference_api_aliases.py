@@ -370,10 +370,10 @@ def test_pairwise_budget_slicing_preserves_results(monkeypatch):
     assert np.allclose(got_dl, want_dl, equal_nan=True)
 
 
-def test_email_dob_oracle_query_exercises_every_level(spark):
-    """The email_dob_vectors EQ query must keep all gamma levels
-    non-vacuous — a hash match over a ladder that never fires is no
-    evidence (both comparisons were review-fixed this round)."""
+def test_composite_oracle_queries_exercise_every_level(spark):
+    """The composite EQ queries must keep all gamma levels non-vacuous —
+    a hash match over a ladder that never fires is no evidence (these
+    comparisons were review-fixed this round)."""
     import memory_optimized_splink_spark.entry_queries as eq
 
     df = eq.QUERIES["email_dob_vectors"](
@@ -382,3 +382,9 @@ def test_email_dob_oracle_query_exercises_every_level(spark):
     email = {r[0] for r in df.select("gamma_email").distinct().collect()}
     assert dob == {-1, 0, 1, 2, 3, 4, 5}
     assert email == {-1, 0, 1, 2, 3, 4}
+
+    fs = eq.QUERIES["forename_surname_vectors"](
+        spark, "/root/testdata/sf0.001")
+    got = {r[0] for r in
+           fs.select("gamma_forename_surname").distinct().collect()}
+    assert got == {-1, 0, 1, 2, 3, 4, 5, 6}
