@@ -1215,16 +1215,23 @@ SELECT query_id, vec_id, cosine,
       ORDER BY cosine DESC, vec_id) AS rank
 FROM s QUALIFY rank <= 5""")
 def q_ann_topk(spark, sf_dir):
-    from .operators.ann import cosine_expr
+    # per-vector norms hoisted out of the pair rows (ann.cosine_prenorm_expr:
+    # float-identical to cosine_expr, one interpreted aggregate per pair
+    # instead of up to five)
+    from .operators.ann import _norm, cosine_prenorm_expr
     emb = load(spark, sf_dir, "embeddings")
     qd = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qv"))
+    qd = qd.select("*", _norm(F.col("qv")).alias("qn"))
     cd = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
+    cd = cd.select("*", _norm(F.col("cv")).alias("cn"))
     scored = cd.crossJoin(F.broadcast(qd)) \
         .where(F.col("query_id") != F.col("vec_id")) \
         .select("query_id", "vec_id",
-                F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"))
+                F.round(cosine_prenorm_expr(F.col("qv"), F.col("cv"),
+                                            F.col("qn"), F.col("cn")),
+                        6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.select("*", F.row_number().over(w).alias("rank")) \
         .where(F.col("rank") <= 5)

@@ -52,6 +52,33 @@ def _codes(s: pd.Series, lmax: int, bytes_mode: bool = False
 
 def _codes_arr(vals: np.ndarray, lmax: int, bytes_mode: bool = False
                ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized encode: one NumPy 'U<lmax>' conversion turns the whole
+    batch into a (n, lmax) UCS-4 codepoint matrix in a single C pass — the
+    per-row encode loop below it was ~2/3 of the whole Jaro-Winkler kernel
+    wall at bench shape (guide §4.2: keep the per-batch work in native
+    code). bytes_mode needs UTF-8 BYTES; for ASCII batches bytes ==
+    codepoints, so the same matrix serves — any non-ASCII batch falls back
+    to the exact per-row encoder."""
+    n = len(vals)
+    lmax = max(int(lmax), 1)
+    try:
+        cp = np.ascontiguousarray(
+            np.asarray(vals, dtype=f"U{lmax}")).view(np.uint32)
+    except (TypeError, ValueError, UnicodeEncodeError):
+        return _codes_arr_rowwise(vals, lmax, bytes_mode)
+    cp = cp.reshape(n, lmax) if n else cp.reshape(0, lmax)
+    if bytes_mode and n and int(cp.max(initial=0)) >= 128:
+        return _codes_arr_rowwise(vals, lmax, bytes_mode)
+    lens = np.fromiter(map(len, vals), np.int64, n)
+    np.minimum(lens, lmax, out=lens)
+    out = cp.astype(np.int32)
+    out[np.arange(lmax)[None, :] >= lens[:, None]] = -1
+    return out, lens.astype(np.int32)
+
+
+def _codes_arr_rowwise(vals: np.ndarray, lmax: int, bytes_mode: bool = False
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Exact per-row fallback (non-ASCII bytes_mode batches)."""
     n = len(vals)
     out = np.full((n, lmax), -1, dtype=np.int32)
     lens = np.empty(n, dtype=np.int32)

@@ -35,6 +35,21 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return F.when(den > 0, _dot(a, b) / den).otherwise(F.lit(0.0))
 
 
+def cosine_prenorm_expr(a: Column, b: Column, norm_a: Column,
+                        norm_b: Column) -> Column:
+    """cosine_expr with the per-vector norms hoisted out of the pair row.
+
+    The interpreted higher-order aggregate is the whole per-pair cost; the
+    naive form evaluates it up to five times per pair (dot + both norms,
+    with `den` appearing in both the predicate and the division and no CSE
+    across interpreted HOFs). Computing each side's norm ONCE per vector
+    row and carrying it through the join leaves exactly one aggregate per
+    pair. Float-identical to cosine_expr: the norm expression, the product
+    order (norm_a * norm_b) and the division are unchanged."""
+    den = norm_a * norm_b
+    return F.when(den > 0, _dot(a, b) / den).otherwise(F.lit(0.0))
+
+
 def brute_force_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -42,11 +57,14 @@ def brute_force_topk(
     """(query_id, vec_id, cosine, rank) — exact top-k by cosine."""
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).cast("array<double>").alias("_cv"))
+    c = c.select("*", _norm(F.col("_cv")).alias("_cn"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("_qv"))
+    q = q.select("*", _norm(F.col("_qv")).alias("_qn"))
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id", "vec_id",
-        cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        cosine_prenorm_expr(F.col("_qv"), F.col("_cv"),
+                            F.col("_qn"), F.col("_cn")).alias("cosine"),
     ).where(F.col("query_id") != F.col("vec_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.select("*", F.row_number().over(w).alias("rank")) \

@@ -67,49 +67,77 @@ def _star_partitions(n_edges: int, spark) -> int:
     return max(min(dp, cap), min(cap, want, 4096))
 
 
-def _large_star(edges: DataFrame, npart: int | None = None) -> DataFrame:
-    # repartition once on the star centre: the min-aggregate AND the
-    # neighbours-to-mins join both require hash(u) clustering, so Catalyst
-    # reuses this single exchange for both (2 shuffles/round instead of 3;
-    # the join forces a full shuffle of nbrs by u either way, so no extra
-    # data moves and AQE skew-join still covers hub nodes). npart bounds
-    # BOTH the star exchange and the closing distinct's exchange (distinct
-    # is a groupBy(u, v): pre-clustering on (u, v) at npart means its
-    # exchange runs at npart reducers instead of the session default).
+def _large_star(edges: DataFrame, npart: int | None = None,
+                dedupe: bool = True) -> DataFrame:
+    """One large-star step as a SINGLE windowed pass (no self-join).
+
+    For each node u, m = min(N(u) ∪ {u}); emit (v -> m) for every strictly
+    larger neighbour v. The min is a whole-partition window over the
+    symmetrized neighbour list: one exchange on hash(u), one sort, one pass
+    — where the join formulation planned the neighbour union into BOTH join
+    sides (a SortMergeJoin with two sorts) and re-planned the whole subtree
+    once per downstream consumer (three large-star subtrees per round in
+    the round-5 physical plan; AQE exchange-reuse deduplicated the shuffles
+    but every consumer re-ran the aggregates and sorts above them).
+
+    dedupe=False defers the closing distinct to the caller: inside the star
+    loop the next operation is small-star's repartition+distinct on the
+    same key, which subsumes it (one shuffle instead of two)."""
+    from pyspark.sql import Window
+
     rep = (["u"] if npart is None else [npart, "u"])
     nbrs = edges.select("u", "v").union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).repartition(*rep)
-    mins = (
-        nbrs.groupBy("u")
-        .agg(F.min("v").alias("_mn"))
-        .select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
-    )
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
     out = (
-        nbrs.join(mins, on="u")
+        nbrs.select("u", "v", m.alias("m"))
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .where(F.col("u") != F.col("v"))
     )
+    # m <= u < v by construction, so the u != v guard is structural
+    if not dedupe:
+        return out
     if npart is not None:
-        out = out.repartition(npart, "u", "v")
+        out = out.repartition(npart, "u")
     return out.distinct()
 
 
-def _small_star(edges: DataFrame, npart: int | None = None) -> DataFrame:
-    rep = (["a"] if npart is None else [npart, "a"])
-    e = edges.select(
-        F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
-    ).where(F.col("a") != F.col("b")).repartition(*rep)
-    mins = e.groupBy("a").agg(F.min("b").alias("m"))
-    out = (
-        e.join(mins, on="a")
-        .select(F.col("b").alias("u"), F.col("m").alias("v"))
-        .union(mins.select(F.col("a").alias("u"), F.col("m").alias("v")))
-        .where(F.col("u") != F.col("v"))
-    )
+def _small_star(edges: DataFrame, npart: int | None = None,
+                assume_normalized: bool = False) -> DataFrame:
+    """One small-star step, also join-free.
+
+    Rows are normalized to (a=greatest, b=least); per group a with
+    m = min(b): every member b links to m, and a itself links to m exactly
+    once. With DISTINCT (a, b) rows, "once" falls out structurally: the
+    single row where b == m emits (a -> m) instead of the degenerate
+    (m -> m) — so the whole step is repartition -> distinct -> window min
+    (sort only, same partitioning) -> one conditional projection. No union,
+    no join, no second pass.
+
+    assume_normalized=True skips the greatest/least projection — valid for
+    large-star output, whose rows satisfy u > v by construction (the star
+    loop always calls it this way)."""
+    from pyspark.sql import Window
+
+    if assume_normalized:
+        e = edges
+    else:
+        e = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).where(F.col("u") != F.col("v"))
+    rep = (["u"] if npart is None else [npart, "u"])
+    # distinct under hash(u) partitioning: HashPartitioning(u) satisfies
+    # the (u, v) clustering requirement (subset rule), so the aggregate
+    # and the window both run inside this single exchange
+    e = e.repartition(*rep).distinct()
+    mb = F.min("v").over(Window.partitionBy("u"))
+    out = e.select(
+        F.when(F.col("v") == mb, F.col("u")).otherwise(F.col("v")).alias("u"),
+        mb.alias("v"),
+    ).where(F.col("u") != F.col("v"))
     if npart is not None:
-        out = out.repartition(npart, "u", "v")
+        out = out.repartition(npart, "u")
     return out.distinct()
 
 
@@ -162,7 +190,12 @@ def connected_components_long(edges: DataFrame, max_iterations: int = 50,
         t0 = time.time()
         npart = _star_partitions(n_edges, spark)
         round_parts.append(npart)
-        e = _checkpoint(_small_star(_large_star(e, npart), npart))
+        # fused round: large-star defers its dedupe into small-star's
+        # repartition+distinct on the same key — 3 exchanges per round
+        # (nbrs window, large-out distinct+window, small-out distinct)
+        e = _checkpoint(_small_star(
+            _large_star(e, npart, dedupe=False), npart,
+            assume_normalized=True))
         rounds += 1
         cur = _checksum(e)
         n_edges = cur[0] or 1
@@ -182,10 +215,13 @@ def connected_components_long(edges: DataFrame, max_iterations: int = 50,
 
 
 def _compact_edges(idmap: DataFrame, edges: DataFrame, edge_l: str,
-                   edge_r: str, broadcast_idmap_max_bytes: int) -> DataFrame:
+                   edge_r: str, broadcast_idmap_max_bytes: int,
+                   measured_bytes: int | None = None) -> DataFrame:
     """edges(string, string) -> (u long, v long) via two idmap joins, with
     the idmap explicitly broadcast while 2x its MEASURED materialized size
-    fits the cap (see solve_connected_components docstring)."""
+    fits the cap (see solve_connected_components docstring).
+    `measured_bytes` lets the caller pass an already-measured size so the
+    measuring aggregate runs once per solve, not once per call."""
     from .vectors import _measured_size_bytes
 
     side_l = idmap.select(F.col("node_id").alias("node_l"),
@@ -193,7 +229,8 @@ def _compact_edges(idmap: DataFrame, edges: DataFrame, edge_l: str,
     side_r = idmap.select(F.col("node_id").alias("node_r"),
                           F.col("nid").alias("v"))
     if broadcast_idmap_max_bytes:
-        est = _measured_size_bytes(idmap)
+        est = (measured_bytes if measured_bytes is not None
+               else _measured_size_bytes(idmap))
         if est is not None and 2 * est <= broadcast_idmap_max_bytes:
             side_l, side_r = F.broadcast(side_l), F.broadcast(side_r)
     return (
@@ -233,15 +270,28 @@ def solve_connected_components(
     explicitly broadcast while 2x that size fits under
     `broadcast_idmap_max_bytes` (both aliased projections are resident
     per executor — the cap bounds the TOTAL). 0 disables the hint."""
+    from .vectors import _measured_size_bytes
+
     ids = nodes.select(F.col(node_col).alias("node_id")).distinct()
     idmap = _checkpoint(ids.withColumn("nid", F.monotonically_increasing_id()))
+    idmap_bytes = (_measured_size_bytes(idmap)
+                   if broadcast_idmap_max_bytes else None)
     e = _compact_edges(idmap, edges, edge_l, edge_r,
-                       broadcast_idmap_max_bytes)
+                       broadcast_idmap_max_bytes, measured_bytes=idmap_bytes)
     assign = connected_components_long(e, max_iterations=max_iterations,
                                        stats=stats)
-    # map back: rep nid -> rep node_id; isolated nodes rep = self
+    # map back: rep nid -> rep node_id; isolated nodes rep = self.
+    # assign has at most one row per edge-covered node (<= idmap rows, two
+    # 8-byte longs each), so whenever the measured idmap fits the broadcast
+    # cap, assign certainly does: both mapping joins become broadcast hash
+    # joins and the membership table streams out of the checkpointed idmap
+    # with ZERO exchanges (left alone, Catalyst planned the assign join as
+    # a sort-merge — two full shuffles + sorts of 64-char string rows).
     rep_names = idmap.select(F.col("nid").alias("rep"),
                              F.col("node_id").alias("_rep_name"))
+    if idmap_bytes is not None and 2 * idmap_bytes <= broadcast_idmap_max_bytes:
+        assign = F.broadcast(assign)
+        rep_names = F.broadcast(rep_names)
     member = (
         idmap.join(assign, idmap["nid"] == assign["u"], "left")
         .select(

@@ -121,7 +121,7 @@ def _xxhash64_windows(W: np.ndarray, seed: int = 42) -> np.ndarray:
     return h
 
 
-def _doc_shingle_hashes(text: str, k: int) -> list[int]:
+def _doc_shingle_hash_arr(text: str, k: int) -> np.ndarray:
     """Distinct pmod(xxhash64(shingle), 2^31-1) values of a doc's character
     k-shingles (byte windows of the lowercased UTF-8 text — identical to the
     SQL substr path on ASCII). numpy sliding windows, no per-char Python."""
@@ -131,18 +131,42 @@ def _doc_shingle_hashes(text: str, k: int) -> list[int]:
     else:
         W = np.lib.stride_tricks.sliding_window_view(b, k)
     h = np.unique(_xxhash64_windows(W))
-    return (h.view(np.int64) % np.int64(_MERSENNE)).tolist()
+    return h.view(np.int64) % np.int64(_MERSENNE)
 
 
-def _hashed_shingles_udf(k: int):
+def _doc_shingle_hashes(text: str, k: int) -> list[int]:
+    return _doc_shingle_hash_arr(text, k).tolist()
+
+
+def _minhash_sig_udf(k: int, coeffs: list[tuple[int, int]]):
+    """Whole MinHash signature per doc inside ONE vectorized numpy pass:
+    min((a*h + b) mod p) over the doc's distinct shingle hashes for every
+    coefficient pair at once — a (num_hashes, n_shingles) uint64 matrix op.
+
+    This replaces the explode-shingles -> shuffle -> 64-min-aggregates
+    groupBy plan: at bench shape that exploded ~25M (id, hash) rows through
+    an exchange and ran 64 pmod-multiply aggregates over them (guide §2.3
+    "aggregate before you shuffle" — here the aggregation collapses into
+    the UDF, so NOTHING is shuffled). a, h < 2^31 keeps a*h + b < 2^62:
+    exact in uint64, bit-identical to the JVM BIGINT pmod path (pinned by
+    the sql-vs-arrow equality test)."""
     from pyspark.sql.types import ArrayType, LongType
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def _hashes(s: pd.Series) -> pd.Series:
-        return s.apply(
-            lambda v: None if v is None else _doc_shingle_hashes(v, k))
+    A = np.array([a for a, _ in coeffs], dtype=np.uint64)[:, None]
+    B = np.array([b for _, b in coeffs], dtype=np.uint64)[:, None]
+    M = np.uint64(_MERSENNE)
 
-    return _hashes
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            h = _doc_shingle_hash_arr(v, k).view(np.uint64)[None, :]
+            return ((A * h + B) % M).min(axis=1).astype(np.int64).tolist()
+
+        return s.apply(one)
+
+    return _sig
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
@@ -191,15 +215,14 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         # extra id+text shuffle measurably hurts small inputs.
         if python_parallelism:
             narrow = narrow.repartition(python_parallelism)
-        sh = narrow.select(
-            "_id",
-            F.explode(_hashed_shingles_udf(k)(F.col("_t"))).alias("_h"),
-        )
-    else:
-        sh = df.select(
-            F.col(id_col).alias("_id"),
-            F.explode(_shingles(F.col(text_col), k)).alias("_s"),
-        ).withColumn("_h", F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE)))
+        # whole signature computed inside the UDF: no shingle explode, no
+        # shuffle, no 64-aggregate groupBy — one narrow map stage
+        return narrow.select(
+            "_id", _minhash_sig_udf(k, coeffs)(F.col("_t")).alias("_sig"))
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_shingles(F.col(text_col), k)).alias("_s"),
+    ).withColumn("_h", F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE)))
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_MERSENNE)))
         .alias(f"_m{i}")
@@ -268,6 +291,12 @@ def minhash_lsh_pairs(
             ])
         ).alias("band_id", "band_hash"),
     )
+    # materialize the (narrow: id + 2 longs) banded table once: it has four
+    # downstream consumers (bucket count, anti-join probe, both self-join
+    # sides), and without lineage truncation EACH replays the signature
+    # UDF over every document (two ArrowEvalPython nodes in the round-5
+    # plan; four signature passes at bench shape)
+    banded = banded.localCheckpoint(eager=True)
     banded = cap_bucket_sizes(banded, ["band_id", "band_hash"],
                               max_bucket_size)
     l = banded.alias("l")
@@ -422,6 +451,9 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
             for b in range(4)
         ])).alias("band_id", "band_key"),
     )
+    # same four-consumer shape as the minhash band table: materialize once
+    # so the signature aggregation is not replayed per consumer
+    banded = banded.localCheckpoint(eager=True)
     banded = cap_bucket_sizes(banded, ["band_id", "band_key"], max_bucket_size)
     l, r = banded.alias("l"), banded.alias("r")
     return (
@@ -497,7 +529,7 @@ def embedding_cosine_pairs(
     all-zero embeddings landing on one key — is quadratic). The band join is
     NARROW (id + band key only); vectors are joined back for verification.
     """
-    from .ann import cosine_expr
+    from .ann import _norm as _ann_norm, cosine_prenorm_expr
 
     dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
@@ -510,6 +542,9 @@ def embedding_cosine_pairs(
     )
     banded = base.select(
         "_id", F.posexplode("_keys").alias("band_id", "band_key"))
+    # four consumers (bucket count, anti-join probe, both self-join sides):
+    # materialize once so the sketch UDF runs once per document
+    banded = banded.localCheckpoint(eager=True)
     banded = cap_bucket_sizes(banded, ["band_id", "band_key"],
                               max_bucket_size)
     l, r = banded.alias("l"), banded.alias("r")
@@ -520,16 +555,24 @@ def embedding_cosine_pairs(
         .select(F.col("l._id").alias("id_l"), F.col("r._id").alias("id_r"))
         .distinct()
     )
+    # per-vector norm computed once per id, not once (or more) per pair —
+    # cosine_prenorm_expr is float-identical to cosine_expr and leaves one
+    # interpreted array-aggregate (the dot) on each candidate row
     vecs = df.select(F.col(id_col).alias("_vid"),
                      F.col(vec_col).cast("array<double>").alias("_v"))
+    vecs = vecs.select("_vid", "_v", _ann_norm(F.col("_v")).alias("_n"))
     return (
         cand
         .join(vecs.select(F.col("_vid").alias("id_l"),
-                          F.col("_v").alias("_v_l")), on="id_l")
+                          F.col("_v").alias("_v_l"),
+                          F.col("_n").alias("_n_l")), on="id_l")
         .join(vecs.select(F.col("_vid").alias("id_r"),
-                          F.col("_v").alias("_v_r")), on="id_r")
+                          F.col("_v").alias("_v_r"),
+                          F.col("_n").alias("_n_r")), on="id_r")
         .select("id_l", "id_r",
-                cosine_expr(F.col("_v_l"), F.col("_v_r")).alias("cosine"))
+                cosine_prenorm_expr(F.col("_v_l"), F.col("_v_r"),
+                                    F.col("_n_l"), F.col("_n_r"))
+                .alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 

@@ -451,13 +451,40 @@ def compute_comparison_vectors(
     retain = settings.retain_matching_columns if retain_columns is None \
         else retain_columns
     if python_parallelism is None:
-        python_parallelism = 2 * pairs.sparkSession.sparkContext.defaultParallelism
+        # one balanced wave over the cores: round-robin repartition (the
+        # narrow-input case) spreads rows evenly, and the per-task Python
+        # dispatch cost makes extra waves a measured net loss (2.5s vs 2.6s
+        # at 1x vs 2x cores at bench shape, 2.1s vs 1.2s at 4x)
+        python_parallelism = pairs.sparkSession.sparkContext.defaultParallelism
     if python_parallelism and needs_python_metrics(settings) \
             and not settings.dedupe_metric_values:
         # with dedupe_metric_values the kernels run on the separately
         # repartitioned DISTINCT value-pair table — shuffling the full pair
-        # table here would be pure wasted I/O
-        pairs = pairs.repartition(python_parallelism)
+        # table here would be pure wasted I/O.
+        # Only repartition when the incoming pair table is actually
+        # NARROWER than the cores: the hazard this guards against is a
+        # broadcast-join pipeline arriving 1-2 partitions wide, but a pair
+        # table that is already cores-wide (e.g. a materialized blocking
+        # output) gains nothing from the shuffle — it just re-moves every
+        # row before the Arrow stage (measured: ~30% of the whole scoring
+        # wall at bench shape). Conversely, a pair table MUCH wider than
+        # the cores pays a measurable per-task cost at the Python
+        # evaluation (worker handshake + Arrow stream setup per task: a
+        # trivial pandas UDF over the same rows took 2.4x longer at 128
+        # tasks than at 32 on 32 cores); coalesce — narrow, no shuffle,
+        # locality-preserving — brings the stage back to
+        # `python_parallelism` tasks. This whole pipeline streams (scan ->
+        # broadcast join -> Arrow batches -> partial agg), so the bigger
+        # merged tasks hold no per-task state beyond one Arrow batch.
+        try:
+            cur = pairs.rdd.getNumPartitions()
+        except Exception:
+            cur = 0
+        dp = pairs.sparkSession.sparkContext.defaultParallelism
+        if cur < dp:
+            pairs = pairs.repartition(python_parallelism)
+        elif cur > python_parallelism:
+            pairs = pairs.coalesce(python_parallelism)
     nodes = ensure_phonetic_columns(nodes, settings)
     df = pairs_with_columns(pairs, nodes, settings)
     df = with_comparison_metrics(
