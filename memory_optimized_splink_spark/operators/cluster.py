@@ -46,6 +46,34 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return row["n"], row["h"]
 
 
+def _round_stats(edges: DataFrame, npart: int) -> tuple[int, bool]:
+    """(n_edges, is_star_forest) in ONE aggregate job over the round output.
+
+    A round output (all rows satisfy u > v structurally) is a star forest
+    exactly when no node appears twice in the u column and no node appears
+    in both columns. Star forest <=> fixpoint of the large/small-star
+    round, and the u > v invariant forces every star root to be its
+    component MINIMUM — so stopping here yields the same assignment as the
+    old stop rule (checksum unchanged after one more round), one full round
+    earlier: the old rule could only detect convergence by re-running the
+    entire round machinery and observing no change."""
+    nodes_fr = edges.select(F.col("u").alias("n"), F.lit(1).alias("iu")) \
+        .unionAll(edges.select(F.col("v").alias("n"), F.lit(0).alias("iu")))
+    per = (
+        nodes_fr.repartition(npart, "n").groupBy("n")
+        .agg(F.sum("iu").alias("nu"), F.count(F.lit(1)).alias("nt"))
+    )
+    row = per.agg(
+        F.sum("nu").alias("n_edges"),
+        F.max(
+            F.when((F.col("nu") > 1)
+                   | ((F.col("nu") > 0) & (F.col("nt") > F.col("nu"))),
+                   1).otherwise(0)
+        ).alias("viol"),
+    ).collect()[0]
+    return int(row["n_edges"] or 0), not row["viol"]
+
+
 def _star_partitions(n_edges: int, spark) -> int:
     """Shuffle-partition count for one star round, sized from the EDGE COUNT
     instead of inherited from `spark.sql.shuffle.partitions`.
@@ -182,7 +210,6 @@ def connected_components_long(edges: DataFrame, max_iterations: int = 50,
         e = e.coalesce(npart0)
     if stats is not None:
         stats["map_partitions"] = e.rdd.getNumPartitions()
-    prev = None
     rounds = 0
     round_secs: list[float] = []
     round_parts: list[int] = []
@@ -197,12 +224,13 @@ def connected_components_long(edges: DataFrame, max_iterations: int = 50,
             _large_star(e, npart, dedupe=False), npart,
             assume_normalized=True))
         rounds += 1
-        cur = _checksum(e)
-        n_edges = cur[0] or 1
+        n, star = _round_stats(e, npart)
+        n_edges = n or 1
         round_secs.append(round(time.time() - t0, 2))
-        if prev == cur:
+        if star:
+            # star forest reached: provably the fixpoint, roots are the
+            # component minima (see _round_stats) — no proving round needed
             break
-        prev = cur
     if stats is not None:
         stats["rounds"] = rounds
         stats["round_secs"] = round_secs
