@@ -45,6 +45,13 @@ def _rule_sql(rule: BlockingRule) -> str:
         return rule.sql
     if rule.keys is None:
         raise ValueError(f"rule {rule.label!r} has neither keys nor sql")
+    if rule.explode_columns:
+        # qualifying an array key as `l.col = r.col` would silently turn
+        # per-element matching into whole-array equality
+        raise ValueError(
+            f"cannot compose exploding rule {rule.label!r} into a theta "
+            "rule (per-element semantics are lost); use separate blocking "
+            "rules instead of Or/Not here")
     parts = []
     for k in rule.keys:
         if not _IDENT.match(k):
@@ -62,10 +69,23 @@ def And(*rules: BlockingRule) -> BlockingRule:
         raise ValueError("And() needs at least one rule")
     if all(r.keys is not None and not r.sql for r in rules):
         keys: list[str] = []
+        explode: list[str] = []
         for r in rules:
             keys.extend(k for k in r.keys if k not in keys)
+            # propagate per-element (exploding) semantics and skew knobs
+            # instead of silently dropping them: the merged multi-key rule
+            # explodes the same array keys, and the strongest salting /
+            # hot-key setting carries over (perf knobs — the pair set is
+            # identical with or without them)
+            explode.extend(c for c in r.explode_columns if c not in explode)
         return BlockingRule(
-            keys=tuple(keys), label="_and_".join(r.label for r in rules))
+            keys=tuple(keys), label="_and_".join(r.label for r in rules),
+            explode_columns=tuple(explode),
+            salting_partitions=max(r.salting_partitions for r in rules),
+            hot_key_threshold=min(
+                (r.hot_key_threshold for r in rules
+                 if r.hot_key_threshold is not None), default=None),
+        )
     sql = " AND ".join(f"({_rule_sql(r)})" for r in rules)
     return BlockingRule(sql=sql, label="and")
 

@@ -200,26 +200,34 @@ def pairs_with_columns(pairs: DataFrame, nodes: DataFrame,
     uid = settings.unique_id_column_name
     cols = columns_needed(settings)
 
-    def side(suffix: str) -> DataFrame:
-        return nodes.select(
-            F.col(uid).alias(f"unique_id{suffix}"),
-            *[F.col(c).alias(f"{c}{suffix}") for c in cols],
-        )
-
-    side_l, side_r = side("_l"), side("_r")
+    # ONE canonical node projection serves both join sides: the previous
+    # per-side projections (columns pre-aliased to *_l / *_r) defeated
+    # exchange reuse — their broadcast subtrees canonicalized differently,
+    # so every scoring pass built and shipped the SAME node hash relation
+    # twice (4 BroadcastExchange / 1 reuse in the executed bench plan).
+    # With an identical build subtree under both joins, Catalyst reuses
+    # one BroadcastExchange, and the resident footprint per executor is a
+    # single copy — so the measured-size guard bounds it with est <= cap
+    # (the old 2x rule assumed two resident copies). The l/r suffixes are
+    # applied in the projection AFTER the joins.
+    b = nodes.select(F.col(uid).alias("_nid"),
+                     *[F.col(c) for c in cols])
     cap = getattr(settings, "broadcast_node_join_max_bytes", 0) or 0
     if cap:
-        # BOTH aliased projections are broadcast, so the resident footprint
-        # per executor is 2x the per-side size — the cap bounds the TOTAL
-        # (2*est), not each side, so executors with modest memory on a real
-        # cluster never hold more than `cap` bytes of node broadcast.
-        est = _plan_size_bytes(side_l)
-        if est is not None and 2 * est <= cap:
-            side_l, side_r = F.broadcast(side_l), F.broadcast(side_r)
+        est = _plan_size_bytes(b)
+        if est is not None and est <= cap:
+            b = F.broadcast(b)
 
-    out = pairs.join(side_l, on="unique_id_l", how="inner")
-    out = out.join(side_r, on="unique_id_r", how="inner")
-    return out
+    p = pairs.alias("_p")
+    out = p.join(b.alias("_ln"),
+                 F.col("_p.unique_id_l") == F.col("_ln._nid"), "inner")
+    out = out.join(b.alias("_rn"),
+                   F.col("_p.unique_id_r") == F.col("_rn._nid"), "inner")
+    return out.select(
+        *[F.col(f"_p.{c}") for c in pairs.columns],
+        *[F.col(f"_ln.{c}").alias(f"{c}_l") for c in cols],
+        *[F.col(f"_rn.{c}").alias(f"{c}_r") for c in cols],
+    )
 
 
 _PYTHON_METRIC_KINDS = {"jaro_winkler", "jaro", "damerau_levenshtein",

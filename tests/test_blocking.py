@@ -302,3 +302,38 @@ def test_link_cumulative_tolerates_differing_column_sets(spark):
     rows = {r["match_key"]: r["row_count"] for r in
             cumulative_comparisons_link(dl, dr, [block_on("city")]).collect()}
     assert rows == {"0": 1}  # the single cross-dataset 'ber' pair
+
+
+def test_and_composition_preserves_explode_and_skew_knobs(spark):
+    """And() of key rules must PROPAGATE exploding/salting/hot-key
+    semantics, not silently drop them (a dropped explode_columns turns
+    per-element matching into whole-array equality — a different pair
+    set); Or/Not must refuse exploding rules outright."""
+    import pandas as pd
+    import pytest
+
+    from memory_optimized_splink_spark.blocking_rule_library import And, Not, Or
+
+    expl = BlockingRule(keys=("aliases",), explode_columns=("aliases",),
+                        label="aliases", salting_partitions=4,
+                        hot_key_threshold=100)
+    merged = And(expl, block_on("city"))
+    assert merged.keys == ("aliases", "city")
+    assert merged.explode_columns == ("aliases",)
+    assert merged.salting_partitions == 4
+    assert merged.hot_key_threshold == 100
+    for compose in (lambda: Or(expl, block_on("city")), lambda: Not(expl)):
+        with pytest.raises(ValueError, match="exploding"):
+            compose()
+
+    # end-to-end: the merged rule matches per ELEMENT (shared alias), which
+    # whole-array equality would miss
+    nodes = spark.createDataFrame(pd.DataFrame({
+        "unique_id": ["a", "b", "c"],
+        "aliases": [["x", "y"], ["y", "z"], ["q"]],
+        "city": ["ber", "ber", "ber"],
+    }))
+    s = Settings(comparisons=(), blocking_rules=(merged,))
+    got = {(r["unique_id_l"], r["unique_id_r"])
+           for r in block_using_rules(nodes, s).collect()}
+    assert got == {("a", "b")}
