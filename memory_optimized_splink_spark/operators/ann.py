@@ -35,6 +35,25 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return F.when(den > 0, _dot(a, b) / den).otherwise(F.lit(0.0))
 
 
+def dot_fixed_dim(a: Column, b: Column, dim: int) -> Column:
+    """_dot unrolled for a KNOWN element count: lit(0.0) + a[0]*b[0] + ...
+    left-associated — whole-stage-codegen arithmetic instead of one
+    interpreted higher-order aggregate per pair (~100x per-element cost).
+    Bit-identical to _dot: same fold order and start value (the leading
+    lit(0.0) also reproduces the aggregate's -0.0 normalization), and rows
+    whose arrays are NOT `dim` long fall back to _dot itself via a lazily
+    evaluated CASE branch (F.get past the end would yield NULL where
+    zip_with pads — the fallback keeps those rows exact). Use when `dim`
+    is already known (no extra job); for one-off small joins the probe job
+    to learn `dim` costs more than the interpreted aggregate saves
+    (measured at bench shape: ~0.15s probe vs ~0.2s HOF on 40k pairs)."""
+    s: Column = F.lit(0.0)
+    for i in range(dim):
+        s = s + F.get(a, F.lit(i)) * F.get(b, F.lit(i))
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), s) \
+        .otherwise(_dot(a, b))
+
+
 def cosine_prenorm_expr(a: Column, b: Column, norm_a: Column,
                         norm_b: Column) -> Column:
     """cosine_expr with the per-vector norms hoisted out of the pair row.
@@ -48,6 +67,15 @@ def cosine_prenorm_expr(a: Column, b: Column, norm_a: Column,
     order (norm_a * norm_b) and the division are unchanged."""
     den = norm_a * norm_b
     return F.when(den > 0, _dot(a, b) / den).otherwise(F.lit(0.0))
+
+
+def cosine_prenorm_fixed(a: Column, b: Column, norm_a: Column,
+                         norm_b: Column, dim: int) -> Column:
+    """cosine_prenorm_expr with the per-pair dot unrolled for a known dim
+    (dot_fixed_dim) — float-identical, zero interpreted work per pair."""
+    den = norm_a * norm_b
+    return F.when(den > 0, dot_fixed_dim(a, b, dim) / den) \
+        .otherwise(F.lit(0.0))
 
 
 def brute_force_topk(
@@ -169,19 +197,27 @@ def ivf_topk(
     probing queries. Results are identical (paths-agree test)."""
     if centroids is None:
         centroids = fit_centroids(corpus, vec_col, n_centroids, seed=seed)
+    # per-vector norms hoisted out of the pair rows, and the per-pair dot
+    # codegen'd for the known dim (the codebook fixes it) — float-identical
+    # to the old cosine_expr-per-pair (same norm exprs, same fold order),
+    # with zero interpreted higher-order work on the joined rows
+    dim = int(np.asarray(centroids).shape[1])
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
     ).withColumn("cid", assign_centroids(F.col("_cv"), centroids, 1)[0])
+    c = c.select("*", _norm(F.col("_cv")).alias("_cn"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
     ).withColumn("cid", F.explode(
         assign_centroids(F.col("_qv"), centroids, n_probe)))
+    q = q.select("*", _norm(F.col("_qv")).alias("_qn"))
     q_side = F.broadcast(q) if broadcast_queries else q
     scored = c.join(q_side, on="cid").select(
         "query_id", "vec_id",
-        cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        cosine_prenorm_fixed(F.col("_qv"), F.col("_cv"),
+                             F.col("_qn"), F.col("_cn"), dim).alias("cosine"),
     ).where(F.col("query_id") != F.col("vec_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.select("*", F.row_number().over(w).alias("rank")) \

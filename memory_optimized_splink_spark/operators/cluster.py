@@ -59,8 +59,15 @@ def _round_stats(edges: DataFrame, npart: int) -> tuple[int, bool]:
     entire round machinery and observing no change."""
     nodes_fr = edges.select(F.col("u").alias("n"), F.lit(1).alias("iu")) \
         .unionAll(edges.select(F.col("v").alias("n"), F.lit(0).alias("iu")))
+    # no explicit repartition before the groupBy: hash-aggregate does
+    # map-side partial aggregation (guide §2.3 "aggregate before you
+    # shuffle"), so the exchange carries one (n, nu, nt) row per distinct
+    # node per map partition instead of every symmetrized edge row — the
+    # v column repeats heavily (star roots), and AQE coalesces the
+    # reducer side. The old repartition forced a full 2x-edge-row shuffle
+    # with no partial aggregation, purely to control reducer width.
     per = (
-        nodes_fr.repartition(npart, "n").groupBy("n")
+        nodes_fr.groupBy("n")
         .agg(F.sum("iu").alias("nu"), F.count(F.lit(1)).alias("nt"))
     )
     row = per.agg(
@@ -246,28 +253,34 @@ def _compact_edges(idmap: DataFrame, edges: DataFrame, edge_l: str,
                    edge_r: str, broadcast_idmap_max_bytes: int,
                    measured_bytes: int | None = None) -> DataFrame:
     """edges(string, string) -> (u long, v long) via two idmap joins, with
-    the idmap explicitly broadcast while 2x its MEASURED materialized size
+    the idmap explicitly broadcast while its MEASURED materialized size
     fits the cap (see solve_connected_components docstring).
     `measured_bytes` lets the caller pass an already-measured size so the
-    measuring aggregate runs once per solve, not once per call."""
+    measuring aggregate runs once per solve, not once per call.
+
+    ONE canonical idmap subtree serves both joins (same fix as the
+    pair->node joins in vectors.pairs_with_columns): per-side projections
+    with pre-renamed columns canonicalize differently, so Catalyst built
+    and shipped the SAME idmap hash relation twice — both joins key on
+    the bare `node_id` column of an identical subtree, letting the second
+    join reuse the first's BroadcastExchange (one build, one copy resident
+    per executor — hence the guard is est <= cap, not 2x)."""
     from .vectors import _measured_size_bytes
 
-    side_l = idmap.select(F.col("node_id").alias("node_l"),
-                          F.col("nid").alias("u"))
-    side_r = idmap.select(F.col("node_id").alias("node_r"),
-                          F.col("nid").alias("v"))
+    b = idmap
     if broadcast_idmap_max_bytes:
         est = (measured_bytes if measured_bytes is not None
                else _measured_size_bytes(idmap))
-        if est is not None and 2 * est <= broadcast_idmap_max_bytes:
-            side_l, side_r = F.broadcast(side_l), F.broadcast(side_r)
-    return (
-        edges.select(F.col(edge_l).alias("node_l"),
+        if est is not None and est <= broadcast_idmap_max_bytes:
+            b = F.broadcast(b)
+    e = edges.select(F.col(edge_l).alias("node_l"),
                      F.col(edge_r).alias("node_r"))
-        .join(side_l, on="node_l")
-        .join(side_r, on="node_r")
-        .select("u", "v")
-    )
+    out = e.join(b.alias("_il"),
+                 F.col("node_l") == F.col("_il.node_id"), "inner")
+    out = out.join(b.alias("_ir"),
+                   F.col("node_r") == F.col("_ir.node_id"), "inner")
+    return out.select(F.col("_il.nid").alias("u"),
+                      F.col("_ir.nid").alias("v"))
 
 
 def solve_connected_components(

@@ -149,7 +149,15 @@ def _minhash_sig_udf(k: int, coeffs: list[tuple[int, int]]):
     "aggregate before you shuffle" — here the aggregation collapses into
     the UDF, so NOTHING is shuffled). a, h < 2^31 keeps a*h + b < 2^62:
     exact in uint64, bit-identical to the JVM BIGINT pmod path (pinned by
-    the sql-vs-arrow equality test)."""
+    the sql-vs-arrow equality test).
+
+    Kept per-doc on purpose (r06 measurements): a whole-batch formulation
+    (one concat buffer + sliding_window_view + segmented reduceat) ran
+    1.5x SLOWER — it must drop the per-doc np.unique, growing the affine
+    matrix ~1.4x, and its (num_hashes, windows) temporaries are memory-
+    bandwidth-bound; likewise Mersenne-folding the `%` was 10x slower than
+    numpy's vectorized uint64 division. The kernel is ~3% of the stage
+    wall at bench shape (scan + Arrow transfer dominate)."""
     from pyspark.sql.types import ArrayType, LongType
 
     A = np.array([a for a, _ in coeffs], dtype=np.uint64)[:, None]
@@ -235,7 +243,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 
 def cap_bucket_sizes(df: DataFrame, keys: list[str],
-                     max_bucket_size: Optional[int]) -> DataFrame:
+                     max_bucket_size: Optional[int],
+                     bucket_size_bound: Optional[int] = None) -> DataFrame:
     """Drop rows whose bucket (group of `keys`) exceeds `max_bucket_size`.
 
     The count aggregate shuffles on the same keys as the downstream
@@ -246,8 +255,20 @@ def cap_bucket_sizes(df: DataFrame, keys: list[str],
     but for dedup the correct action is drop, not split: a bucket of 100k
     docs sharing a band hash is boilerplate, and enumerating its 5x10^9
     pairs is never useful.
+
+    `bucket_size_bound`: a caller-proven upper bound on ANY bucket's size
+    (for banded tables: rows-per-band = n_rows / bands, since every doc
+    contributes exactly one row per band). When the bound itself is within
+    the cap, no bucket can exceed it and the count aggregate + anti-join
+    are a provable no-op — skipped entirely, so small inputs (and the
+    per-band row count is known from the materialized band table for one
+    cheap cached count) don't pay two extra plan stages for a guard that
+    cannot fire. Scale-adaptive: any input whose per-band rows exceed the
+    cap still runs the full measured guard.
     """
     if max_bucket_size is None:
+        return df
+    if bucket_size_bound is not None and bucket_size_bound <= max_bucket_size:
         return df
     hot = (
         df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bucket_n"))
@@ -297,8 +318,13 @@ def minhash_lsh_pairs(
     # UDF over every document (two ArrowEvalPython nodes in the round-5
     # plan; four signature passes at bench shape)
     banded = banded.localCheckpoint(eager=True)
+    # one cheap count over the cached band table proves the per-band row
+    # count (= docs with a signature); when that bound fits the cap the
+    # bucket guard is skipped as a no-op (see cap_bucket_sizes)
+    n_banded = banded.count()
     banded = cap_bucket_sizes(banded, ["band_id", "band_hash"],
-                              max_bucket_size)
+                              max_bucket_size,
+                              bucket_size_bound=-(-n_banded // bands))
     l = banded.alias("l")
     r = banded.alias("r")
     return (
@@ -454,7 +480,10 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     # same four-consumer shape as the minhash band table: materialize once
     # so the signature aggregation is not replayed per consumer
     banded = banded.localCheckpoint(eager=True)
-    banded = cap_bucket_sizes(banded, ["band_id", "band_key"], max_bucket_size)
+    n_banded = banded.count()
+    banded = cap_bucket_sizes(banded, ["band_id", "band_key"],
+                              max_bucket_size,
+                              bucket_size_bound=-(-n_banded // 4))
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(r, (F.col("l.band_id") == F.col("r.band_id"))
@@ -529,7 +558,7 @@ def embedding_cosine_pairs(
     all-zero embeddings landing on one key — is quadratic). The band join is
     NARROW (id + band key only); vectors are joined back for verification.
     """
-    from .ann import _norm as _ann_norm, cosine_prenorm_expr
+    from .ann import _norm as _ann_norm, cosine_prenorm_fixed
 
     dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
@@ -545,8 +574,10 @@ def embedding_cosine_pairs(
     # four consumers (bucket count, anti-join probe, both self-join sides):
     # materialize once so the sketch UDF runs once per document
     banded = banded.localCheckpoint(eager=True)
+    n_banded = banded.count()
     banded = cap_bucket_sizes(banded, ["band_id", "band_key"],
-                              max_bucket_size)
+                              max_bucket_size,
+                              bucket_size_bound=-(-n_banded // bands))
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(r, (F.col("l.band_id") == F.col("r.band_id"))
@@ -570,8 +601,11 @@ def embedding_cosine_pairs(
                           F.col("_v").alias("_v_r"),
                           F.col("_n").alias("_n_r")), on="id_r")
         .select("id_l", "id_r",
-                cosine_prenorm_expr(F.col("_v_l"), F.col("_v_r"),
-                                    F.col("_n_l"), F.col("_n_r"))
+                # dim is already known (the SRP planes need it), so the
+                # per-pair dot is codegen'd arithmetic (dot_fixed_dim) —
+                # float-identical to the interpreted aggregate, no probe job
+                cosine_prenorm_fixed(F.col("_v_l"), F.col("_v_r"),
+                                     F.col("_n_l"), F.col("_n_r"), dim)
                 .alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

@@ -70,7 +70,9 @@ def test_tf_join_is_broadcast(spark, repo_nodes):
 
 def test_lsh_bucket_cap_is_broadcast_anti_join(spark):
     """The bucket-size cap must exclude hot buckets via a BROADCAST anti
-    join (the hot-key list is tiny); the big banded table shuffles once."""
+    join (the hot-key list is tiny); the big banded table shuffles once.
+    The cap is set BELOW the doc count so the guard cannot be skipped as a
+    provable no-op (see test_lsh_bucket_cap_skipped_when_provably_noop)."""
     from memory_optimized_splink_spark.operators.dedup import (
         minhash_lsh_pairs,
     )
@@ -79,9 +81,28 @@ def test_lsh_bucket_cap_is_broadcast_anti_join(spark):
         [(i, f"document text number {i}") for i in range(50)],
         "doc_id long, text string")
     plan = _plan(minhash_lsh_pairs(docs, "doc_id", "text",
-                                   max_bucket_size=100))
+                                   max_bucket_size=10))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_bucket_cap_skipped_when_provably_noop(spark):
+    """When rows-per-band (= docs with a signature) cannot exceed the cap,
+    no bucket can either: the count aggregate + anti-join must vanish from
+    the plan — small inputs don't pay two stages for a guard that cannot
+    fire — and the pair set must equal the capped plan's exactly."""
+    from memory_optimized_splink_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document text number {i}") for i in range(50)],
+        "doc_id long, text string")
+    capped = minhash_lsh_pairs(docs, "doc_id", "text", max_bucket_size=100)
+    assert "LeftAnti" not in _plan(capped)
+    uncapped = minhash_lsh_pairs(docs, "doc_id", "text", max_bucket_size=None)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(capped) == key(uncapped)
 
 
 def test_bridges_plan_no_driver_collect(spark):
