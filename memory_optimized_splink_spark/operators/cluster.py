@@ -46,39 +46,48 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return row["n"], row["h"]
 
 
-def _round_stats(edges: DataFrame, npart: int) -> tuple[int, bool]:
-    """(n_edges, is_star_forest) in ONE aggregate job over the round output.
+def _round_stats(edges: DataFrame) -> tuple[int, bool]:
+    """(n_edge_rows, is_star_forest) in ONE aggregate job over the round
+    output. DUPLICATE-INSENSITIVE: the round output is allowed to carry
+    duplicate (u, v) rows (the loop defers the closing distinct — see
+    connected_components_long), so the check is on the edge SET:
 
     A round output (all rows satisfy u > v structurally) is a star forest
-    exactly when no node appears twice in the u column and no node appears
-    in both columns. Star forest <=> fixpoint of the large/small-star
-    round, and the u > v invariant forces every star root to be its
-    component MINIMUM — so stopping here yields the same assignment as the
-    old stop rule (checksum unchanged after one more round), one full round
-    earlier: the old rule could only detect convergence by re-running the
-    entire round machinery and observing no change."""
-    nodes_fr = edges.select(F.col("u").alias("n"), F.lit(1).alias("iu")) \
-        .unionAll(edges.select(F.col("v").alias("n"), F.lit(0).alias("iu")))
-    # no explicit repartition before the groupBy: hash-aggregate does
-    # map-side partial aggregation (guide §2.3 "aggregate before you
-    # shuffle"), so the exchange carries one (n, nu, nt) row per distinct
-    # node per map partition instead of every symmetrized edge row — the
-    # v column repeats heavily (star roots), and AQE coalesces the
-    # reducer side. The old repartition forced a full 2x-edge-row shuffle
-    # with no partial aggregation, purely to control reducer width.
+    exactly when no u-node has two DISTINCT targets and no node appears in
+    both columns. Per node the first test is min(target) < max(target) —
+    min/max/sum are all partial-aggregation-friendly, where a
+    count(DISTINCT ...) would plan a second exchange. Star forest <=>
+    fixpoint of the large/small-star round, and the u > v invariant forces
+    every star root to be its component MINIMUM — so stopping here yields
+    the same assignment as the old stop rule (checksum unchanged after one
+    more round), one full round earlier.
+
+    n_edge_rows counts ROWS (an upper bound on distinct edges), which is
+    all its consumer needs: `_star_partitions` sizing. No explicit
+    repartition before the groupBy: hash-aggregate does map-side partial
+    aggregation (guide §2.3), so the exchange carries one row per distinct
+    node per map partition instead of every symmetrized edge row, and AQE
+    coalesces the reducer side."""
+    nodes_fr = edges.select(
+        F.col("u").alias("n"), F.col("v").alias("t"), F.lit(1).alias("iu")
+    ).unionAll(edges.select(
+        F.col("v").alias("n"), F.col("u").alias("t"), F.lit(0).alias("iu")))
+    out_t = F.when(F.col("iu") == 1, F.col("t"))
     per = (
         nodes_fr.groupBy("n")
-        .agg(F.sum("iu").alias("nu"), F.count(F.lit(1)).alias("nt"))
+        .agg(F.min(out_t).alias("tmin"), F.max(out_t).alias("tmax"),
+             F.max(1 - F.col("iu")).alias("vin"),
+             F.sum("iu").alias("rows_u"))
     )
     row = per.agg(
-        F.sum("nu").alias("n_edges"),
+        F.sum("rows_u").alias("n_rows"),
         F.max(
-            F.when((F.col("nu") > 1)
-                   | ((F.col("nu") > 0) & (F.col("nt") > F.col("nu"))),
+            F.when((F.col("tmin") < F.col("tmax"))
+                   | (F.col("tmin").isNotNull() & (F.col("vin") == 1)),
                    1).otherwise(0)
         ).alias("viol"),
     ).collect()[0]
-    return int(row["n_edges"] or 0), not row["viol"]
+    return int(row["n_rows"] or 0), not row["viol"]
 
 
 def _star_partitions(n_edges: int, spark) -> int:
@@ -139,7 +148,8 @@ def _large_star(edges: DataFrame, npart: int | None = None,
 
 
 def _small_star(edges: DataFrame, npart: int | None = None,
-                assume_normalized: bool = False) -> DataFrame:
+                assume_normalized: bool = False,
+                dedupe_output: bool = True) -> DataFrame:
     """One small-star step, also join-free.
 
     Rows are normalized to (a=greatest, b=least); per group a with
@@ -152,7 +162,16 @@ def _small_star(edges: DataFrame, npart: int | None = None,
 
     assume_normalized=True skips the greatest/least projection — valid for
     large-star output, whose rows satisfy u > v by construction (the star
-    loop always calls it this way)."""
+    loop always calls it this way).
+
+    dedupe_output=False skips the closing repartition+distinct — one full
+    edge-set shuffle per round. Output rows are unique WITHIN each input
+    group a (the frame is distinct), but the same (b -> m) can arise from
+    two groups that share member b and minimum m. Such duplicates are
+    harmless to every loop consumer: the next round's first
+    repartition+distinct subsumes the dedupe, _round_stats is duplicate-
+    insensitive by construction, and the final assignment takes a min per
+    node. The standalone default keeps the distinct."""
     from pyspark.sql import Window
 
     if assume_normalized:
@@ -171,6 +190,8 @@ def _small_star(edges: DataFrame, npart: int | None = None,
         F.when(F.col("v") == mb, F.col("u")).otherwise(F.col("v")).alias("u"),
         mb.alias("v"),
     ).where(F.col("u") != F.col("v"))
+    if not dedupe_output:
+        return out
     if npart is not None:
         out = out.repartition(npart, "u")
     return out.distinct()
@@ -225,13 +246,18 @@ def connected_components_long(edges: DataFrame, max_iterations: int = 50,
         npart = _star_partitions(n_edges, spark)
         round_parts.append(npart)
         # fused round: large-star defers its dedupe into small-star's
-        # repartition+distinct on the same key — 3 exchanges per round
-        # (nbrs window, large-out distinct+window, small-out distinct)
+        # repartition+distinct on the same key, and small-star's own
+        # closing distinct is deferred to the NEXT round's opening
+        # repartition+distinct (dedupe_output=False) — 2 exchanges per
+        # round (nbrs window, small-in distinct+window) instead of 3; the
+        # round output may carry cross-group duplicate rows, which the
+        # duplicate-insensitive _round_stats and the min-per-node
+        # assignment tail tolerate exactly (see their docstrings)
         e = _checkpoint(_small_star(
             _large_star(e, npart, dedupe=False), npart,
-            assume_normalized=True))
+            assume_normalized=True, dedupe_output=False))
         rounds += 1
-        n, star = _round_stats(e, npart)
+        n, star = _round_stats(e)
         n_edges = n or 1
         round_secs.append(round(time.time() - t0, 2))
         if star:
