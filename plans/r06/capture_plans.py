@@ -83,11 +83,17 @@ def main() -> None:
     e = C._checkpoint(e.select("u", "v").where(F.col("u") != F.col("v")))
     n_edges = e.count()
     npart = C._star_partitions(n_edges, spark)
+    # capture the loop's EXACT fused round shape (falling back through the
+    # older signatures so the same script can run at earlier commits)
     try:
-        round1 = C._small_star(C._large_star(e, npart), npart)
+        round1 = C._small_star(C._large_star(e, npart, dedupe=False), npart,
+                               assume_normalized=True, dedupe_output=False)
     except TypeError:
-        round1 = C._small_star(C._large_star(e, npart), npart,
-                               assume_normalized=True)
+        try:
+            round1 = C._small_star(C._large_star(e, npart, dedupe=False),
+                                   npart, assume_normalized=True)
+        except TypeError:
+            round1 = C._small_star(C._large_star(e, npart), npart)
     member = C.solve_connected_components(nodes, edges)
     for name, df in [("cluster_cc_round", round1),
                      ("cluster_cc_membership", member)]:
