@@ -216,13 +216,27 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     if shingle_impl == "arrow":
         narrow = df.select(F.col(id_col).alias("_id"),
                            F.col(text_col).alias("_t"))
-        # python_parallelism: opt-in repartition for inputs that arrive
-        # fewer partitions wide than the cores the Arrow stage could use
-        # (e.g. one giant unsplittable file). Off by default: at corpus
-        # scale the scan is already thousands of partitions wide, and the
-        # extra id+text shuffle measurably hurts small inputs.
+        # Width of the Arrow signature stage. Explicit python_parallelism
+        # forces that width; the default is ADAPTIVE, same rule as the
+        # scoring path (compute_comparison_vectors): repartition ONLY when
+        # the input arrives narrower than the cores. A single-file corpus
+        # scans as ONE partition, which ran the whole signature kernel on
+        # one core (measured at bench shape: 0.86s stage wall ~= the
+        # single-core kernel time; with the conditional repartition the
+        # stage spreads over every core for one tiny id+text shuffle). At
+        # corpus scale the scan is already thousands of partitions wide
+        # and the condition never fires — no shuffle is added where the
+        # old unconditional repartition measurably hurt.
         if python_parallelism:
             narrow = narrow.repartition(python_parallelism)
+        else:
+            try:
+                cur = narrow.rdd.getNumPartitions()
+            except Exception:
+                cur = 0
+            dp = df.sparkSession.sparkContext.defaultParallelism
+            if cur and cur < dp:
+                narrow = narrow.repartition(dp)
         # whole signature computed inside the UDF: no shingle explode, no
         # shuffle, no 64-aggregate groupBy — one narrow map stage
         return narrow.select(
@@ -564,6 +578,11 @@ def embedding_cosine_pairs(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((bands * n_planes, dim))
 
+    # NOTE (r06, measured): no adaptive repartition before the sketch UDF,
+    # unlike minhash_signatures — the SRP sketch is one numpy matmul per
+    # batch (~0.15s single-core at bench shape), so splitting the one-file
+    # scan into cores-many tasks cost MORE in shuffle + extra-stage
+    # scheduling than it recovered (srp full 0.99s -> 1.33s when tried).
     base = df.select(
         F.col(id_col).alias("_id"),
         srp_band_keys(F.col(vec_col).cast("array<double>"), planes, bands)
