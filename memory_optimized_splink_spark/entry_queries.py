@@ -1225,6 +1225,19 @@ def q_ann_topk(spark, sf_dir):
         F.col("embedding").cast("array<double>").alias("qv"))
     qd = qd.select("*", _norm(F.col("qv")).alias("qn"))
     cd = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
+    # a single-file embedding table scans as ONE partition, and the
+    # per-pair interpreted dot products run in the scan stage (before the
+    # window's exchange) — i.e. on one core. Same adaptive rule as the
+    # other Python/interpreted stages: spread the corpus side over the
+    # cores only when it arrives narrower than them (values per row are
+    # partition-independent, so results are identical).
+    try:
+        cur = cd.rdd.getNumPartitions()
+    except Exception:
+        cur = 0
+    dp = spark.sparkContext.defaultParallelism
+    if cur and cur < dp:
+        cd = cd.repartition(dp)
     cd = cd.select("*", _norm(F.col("cv")).alias("cn"))
     scored = cd.crossJoin(F.broadcast(qd)) \
         .where(F.col("query_id") != F.col("vec_id")) \

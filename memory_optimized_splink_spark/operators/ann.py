@@ -85,6 +85,16 @@ def brute_force_topk(
     """(query_id, vec_id, cosine, rank) — exact top-k by cosine."""
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).cast("array<double>").alias("_cv"))
+    # adaptive width: the per-pair dots run in the corpus scan stage
+    # (broadcast join adds no exchange before them), so a single-file
+    # corpus would compute every dot on one core
+    try:
+        cur = c.rdd.getNumPartitions()
+    except Exception:
+        cur = 0
+    dp = corpus.sparkSession.sparkContext.defaultParallelism
+    if cur and cur < dp:
+        c = c.repartition(dp)
     c = c.select("*", _norm(F.col("_cv")).alias("_cn"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("_qv"))
