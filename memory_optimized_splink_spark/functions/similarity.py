@@ -3,32 +3,59 @@
 The reference registers Scala JAR UDFs (jaro_winkler, jaccard,
 damerau_levenshtein, ...) into Spark SQL
 (/root/reference/splink/internals/spark/jar_location.py:34-75). This engine
-replaces the JAR with **numpy-vectorized kernels inside pandas UDFs**: every
-batch is an Arrow RecordBatch; inside the batch all per-character work is
-numpy array ops (no per-row Python in the hot path, per the north rule).
+replaces the JAR with **vectorized kernels inside pandas UDFs**: every batch
+is an Arrow RecordBatch; inside the batch all per-character work runs in
+native code (no per-row Python in the hot path, per the north rule).
 
 Semantics are pinned to DuckDB's builtin functions (the reference's default
 backend) so that the driver's DuckDB oracle hash-matches:
   jaro_winkler_similarity / levenshtein / damerau_levenshtein.
 tests/test_similarity_vs_duckdb.py fuzzes the kernels cell-by-cell.
 
-Scale notes: the per-batch tensors are O(batch * Lmax) for the edit
-distances and O(batch * Lmax^2) bools for Jaro matching. Rows longer than
-the fast-path width (_LMAX / _DL_LMAX) are NOT truncated: they are routed
-into their own narrow mini-batches at natural length (sorted by length, with
-an adaptive batch size that keeps the per-batch tensor bounded), so results
-stay EXACT up to a hard per-kernel ceiling (_LHARD_*). Past the ceiling the
-kernel raises — silently-approximate distances on content-like columns were
-round-3's "What's wrong #2"; pre-truncate or fingerprint such columns
-explicitly instead.
+Two interchangeable backends per kernel:
+- **DuckDB (default when importable)**: the batch is handed to an embedded
+  single-threaded DuckDB connection and the metric runs as its C++ builtin
+  (vendored rapidfuzz) — the very function whose semantics these kernels
+  are pinned to, so equality is by construction, and ~20x faster than the
+  numpy path on name/path-shaped strings (measured at bench shape). One
+  connection per worker process, reused across batches/tasks.
+  Levenshtein/Damerau-Levenshtein route here only for all-ASCII batches:
+  DuckDB's edit distances count BYTES while these kernels are pinned to
+  Spark's codepoint semantics — the two agree exactly on ASCII.
+- **numpy**: the original vectorized kernels, used when duckdb is absent
+  (or per-call via use_duckdb=False) and for non-ASCII edit-distance
+  batches. Kept fully tested against the same DuckDB oracle.
+
+Scale notes (numpy path): the per-batch tensors are O(batch * Lmax) for the
+edit distances and O(batch * Lmax^2) bools for Jaro matching. Rows longer
+than the fast-path width (_LMAX / _DL_LMAX) are NOT truncated: they are
+routed into their own narrow mini-batches at natural length (sorted by
+length, with an adaptive batch size that keeps the per-batch tensor
+bounded), so results stay EXACT up to a hard per-kernel ceiling (_LHARD_*).
+Past the ceiling the kernel raises — silently-approximate distances on
+content-like columns were round-3's "What's wrong #2"; pre-truncate or
+fingerprint such columns explicitly instead. The ceiling applies to BOTH
+backends (identical observable behavior regardless of which is installed).
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, IntegerType
+
+try:  # pragma: no cover - exercised via the backend-equality tests
+    import duckdb as _duckdb
+except Exception:  # pragma: no cover
+    _duckdb = None
+
+# env escape hatch (read at import in driver AND executors): force the
+# numpy kernels even where duckdb is importable, e.g. for backend A/Bs
+if os.environ.get("MOS_SIMILARITY_BACKEND", "").lower() == "numpy":
+    _duckdb = None
 
 _LMAX = 256
 _CHUNK = 2048
@@ -37,6 +64,46 @@ _CHUNK = 2048
 _LHARD_JARO = 8192
 _LHARD_LEV = 8192
 _LHARD_DL = 2048
+
+# one embedded DuckDB connection per worker process (guide §4.5: heavyweight
+# init once, cached in a module global with a PID guard so a reused worker
+# keeps it across tasks). threads=1: each Spark task already owns one core;
+# a multithreaded embedded engine inside 32 concurrent workers would
+# oversubscribe. Single-threaded scans of an in-memory frame are also
+# order-preserving, which the elementwise contract relies on (pinned by the
+# backend-equality fuzz test).
+_DUCK_CON = None
+_DUCK_PID = None
+
+
+def _duck_con():
+    global _DUCK_CON, _DUCK_PID
+    pid = os.getpid()
+    if _DUCK_CON is None or _DUCK_PID != pid:
+        con = _duckdb.connect()
+        con.execute("SET threads TO 1")
+        _DUCK_CON = con
+        _DUCK_PID = pid
+    return _DUCK_CON
+
+
+def _all_ascii(vals: np.ndarray) -> bool:
+    return all(map(str.isascii, vals))
+
+
+def _duck_pairs(fn: str, v1: np.ndarray, v2: np.ndarray,
+                out_dtype) -> np.ndarray:
+    """SELECT fn(a, b) over two aligned object arrays of non-null strings,
+    elementwise (single-threaded scan => output order == input order)."""
+    con = _duck_con()
+    df = pd.DataFrame({"a": v1, "b": v2})
+    con.register("_mos_sim_pairs", df)
+    try:
+        out = con.execute(
+            f"SELECT {fn}(a, b) AS s FROM _mos_sim_pairs").fetchnumpy()["s"]
+    finally:
+        con.unregister("_mos_sim_pairs")
+    return np.ascontiguousarray(out).astype(out_dtype, copy=False)
 
 
 def _codes(s: pd.Series, lmax: int, bytes_mode: bool = False
@@ -164,31 +231,65 @@ def _prefix_len(a, la, b, lb, cap: int = 4) -> np.ndarray:
     return run.sum(axis=1).astype(np.float64)
 
 
+def _ceiling_error(bad: int, lhard: int) -> ValueError:
+    return ValueError(
+        f"similarity kernel input of length {bad} exceeds the exact-"
+        f"computation ceiling ({lhard}); these kernels are for "
+        "name/path-like columns — pre-truncate, fingerprint, or shingle "
+        "content-like columns explicitly instead")
+
+
 def _run_kernel(s1: pd.Series, s2: pd.Series, block, *, bytes_mode: bool,
                 lmax: int, chunk: int, lhard: int, cell_budget: int,
-                out_dtype) -> np.ndarray:
+                out_dtype, duck_fn: str | None = None,
+                duck_ascii_only: bool = False,
+                use_duckdb: bool | None = None) -> np.ndarray:
     """Chunked kernel driver with an EXACT long-string slow path.
 
-    Rows where both sides fit `lmax` run in `chunk`-sized batches at width
-    `lmax` (the hot path — identical to the pre-round-4 behavior). Longer
-    rows are sorted by length and run in narrow mini-batches at their
-    natural width, sized so each batch stays under `cell_budget` matrix
-    cells — no truncation, so values match the oracle at any length up to
-    `lhard`, past which we raise instead of silently approximating."""
+    Backend dispatch: when duckdb is importable (and `use_duckdb` is not
+    False) the whole batch is computed by DuckDB's builtin `duck_fn` — the
+    function these kernels are pinned to, elementwise over the batch (see
+    _duck_pairs). `duck_ascii_only` gates that route on an all-ASCII batch
+    (DuckDB edit distances count bytes; these kernels count codepoints —
+    equal only on ASCII). The exactness ceiling below applies to both
+    backends identically.
+
+    numpy path: rows where both sides fit `lmax` run in `chunk`-sized
+    batches at width `lmax` (the hot path — identical to the pre-round-4
+    behavior). Longer rows are sorted by length and run in narrow
+    mini-batches at their natural width, sized so each batch stays under
+    `cell_budget` matrix cells — no truncation, so values match the oracle
+    at any length up to `lhard`, past which we raise instead of silently
+    approximating."""
     v1 = s1.fillna("").astype(str).to_numpy(dtype=object)
     v2 = s2.fillna("").astype(str).to_numpy(dtype=object)
     n = len(v1)
     enc = (lambda x: len(x.encode("utf-8"))) if bytes_mode else len
-    l1 = np.fromiter(map(enc, v1), np.int64, n)
-    l2 = np.fromiter(map(enc, v2), np.int64, n)
-    width = np.maximum(l1, l2)
-    if (width > lhard).any():
-        bad = int(width.max())
-        raise ValueError(
-            f"similarity kernel input of length {bad} exceeds the exact-"
-            f"computation ceiling ({lhard}); these kernels are for "
-            "name/path-like columns — pre-truncate, fingerprint, or shingle "
-            "content-like columns explicitly instead")
+    # exactness ceiling, checked from O(1) CHAR lengths first so the duckdb
+    # route skips the full UTF-8 encode pass: bytes >= chars always, and
+    # bytes <= 4*chars, so only rows in the ambiguous band need encoding
+    c1 = np.fromiter(map(len, v1), np.int64, n)
+    c2 = np.fromiter(map(len, v2), np.int64, n)
+    cw = np.maximum(c1, c2)
+    cmax = int(cw.max(initial=0))
+    if cmax > lhard:
+        raise _ceiling_error(cmax, lhard)
+    if bytes_mode and 4 * cmax > lhard:
+        for i in np.nonzero(4 * cw > lhard)[0]:
+            bad = max(enc(v1[i]), enc(v2[i]))
+            if bad > lhard:
+                raise _ceiling_error(bad, lhard)
+    use = (_duckdb is not None) if use_duckdb is None \
+        else (use_duckdb and _duckdb is not None)
+    if use and duck_fn and n and \
+            (not duck_ascii_only or (_all_ascii(v1) and _all_ascii(v2))):
+        return _duck_pairs(duck_fn, v1, v2, out_dtype)
+    if bytes_mode:
+        l1 = np.fromiter(map(enc, v1), np.int64, n)
+        l2 = np.fromiter(map(enc, v2), np.int64, n)
+        width = np.maximum(l1, l2)
+    else:
+        l1, l2, width = c1, c2, cw
     out = np.empty(n, dtype=out_dtype)
 
     def run(idx: np.ndarray, step: int) -> None:
@@ -209,17 +310,21 @@ def _run_kernel(s1: pd.Series, s2: pd.Series, block, *, bytes_mode: bool,
     return out
 
 
-def jaro_np(s1: pd.Series, s2: pd.Series) -> np.ndarray:
+def jaro_np(s1: pd.Series, s2: pd.Series,
+            use_duckdb: bool | None = None) -> np.ndarray:
     return _run_kernel(
         s1, s2, _jaro_block, bytes_mode=True, lmax=_LMAX, chunk=_CHUNK,
-        lhard=_LHARD_JARO, cell_budget=1 << 28, out_dtype=np.float64)
+        lhard=_LHARD_JARO, cell_budget=1 << 28, out_dtype=np.float64,
+        duck_fn="jaro_similarity", use_duckdb=use_duckdb)
 
 
 def jaro_winkler_np(s1: pd.Series, s2: pd.Series,
                     prefix_weight: float = 0.1,
-                    boost_threshold: float = 0.7) -> np.ndarray:
+                    boost_threshold: float = 0.7,
+                    use_duckdb: bool | None = None) -> np.ndarray:
     """Jaro-Winkler matching DuckDB's jaro_winkler_similarity (prefix<=4,
-    scaling 0.1, boost only when jaro > 0.7)."""
+    scaling 0.1, boost only when jaro > 0.7). Non-default prefix/boost
+    parameters have no DuckDB builtin — they always run the numpy path."""
 
     def block(a, la, b, lb):
         jaro = _jaro_block(a, la, b, lb)
@@ -228,9 +333,12 @@ def jaro_winkler_np(s1: pd.Series, s2: pd.Series,
             jaro > boost_threshold,
             jaro + prefix_weight * pl * (1.0 - jaro), jaro)
 
+    duck_fn = ("jaro_winkler_similarity"
+               if (prefix_weight, boost_threshold) == (0.1, 0.7) else None)
     return _run_kernel(
         s1, s2, block, bytes_mode=True, lmax=_LMAX, chunk=_CHUNK,
-        lhard=_LHARD_JARO, cell_budget=1 << 28, out_dtype=np.float64)
+        lhard=_LHARD_JARO, cell_budget=1 << 28, out_dtype=np.float64,
+        duck_fn=duck_fn, use_duckdb=use_duckdb)
 
 
 def _levenshtein_block(a, la, b, lb) -> np.ndarray:
@@ -340,17 +448,24 @@ def _rect_block(block):
     return run
 
 
-def edit_distance_np(s1: pd.Series, s2: pd.Series, damerau: bool) -> np.ndarray:
+def edit_distance_np(s1: pd.Series, s2: pd.Series, damerau: bool,
+                     use_duckdb: bool | None = None) -> np.ndarray:
+    # edit distances are pinned to CODEPOINT counting (Spark's builtin /
+    # the reference Scala UDF); DuckDB's count bytes, so the duckdb route
+    # is gated on an all-ASCII batch (duck_ascii_only), where they agree
     if damerau:
         # DL memory is the binder: the (n, La+2, Lb+2) float64 tensor
         return _run_kernel(
             s1, s2, _rect_block(_dl_unrestricted_block), bytes_mode=False,
             lmax=_DL_LMAX, chunk=_DL_CHUNK, lhard=_LHARD_DL,
-            cell_budget=1 << 23, out_dtype=np.int64)
+            cell_budget=1 << 23, out_dtype=np.int64,
+            duck_fn="damerau_levenshtein", duck_ascii_only=True,
+            use_duckdb=use_duckdb)
     return _run_kernel(
         s1, s2, _rect_block(_levenshtein_block), bytes_mode=False,
         lmax=_LMAX, chunk=_CHUNK, lhard=_LHARD_LEV,
-        cell_budget=1 << 28, out_dtype=np.int64)
+        cell_budget=1 << 28, out_dtype=np.int64,
+        duck_fn="levenshtein", duck_ascii_only=True, use_duckdb=use_duckdb)
 
 
 def cosine_np(v1: pd.Series, v2: pd.Series) -> np.ndarray:

@@ -54,12 +54,19 @@ def pairs():
 
 def test_jaro_winkler_matches_duckdb(pairs):
     s1, s2, ref = pairs
+    # BOTH backends (auto = embedded duckdb; use_duckdb=False = numpy) must
+    # match the oracle — the numpy fallback stays pinned even though the
+    # default route now calls the oracle function itself
     assert np.abs(jaro_winkler_np(s1, s2) - ref.jw.to_numpy()).max() < 1e-12
+    assert np.abs(jaro_winkler_np(s1, s2, use_duckdb=False)
+                  - ref.jw.to_numpy()).max() < 1e-12
 
 
 def test_jaro_matches_duckdb(pairs):
     s1, s2, ref = pairs
     assert np.abs(jaro_np(s1, s2) - ref.j.to_numpy()).max() < 1e-12
+    assert np.abs(jaro_np(s1, s2, use_duckdb=False)
+                  - ref.j.to_numpy()).max() < 1e-12
 
 
 def test_levenshtein_matches_duckdb(pairs):
@@ -72,6 +79,8 @@ def test_levenshtein_matches_duckdb(pairs):
     )
     got = edit_distance_np(s1, s2, damerau=False)
     assert (got[ascii_mask] == ref.lev.to_numpy()[ascii_mask]).all()
+    got_np = edit_distance_np(s1, s2, damerau=False, use_duckdb=False)
+    assert (got == got_np).all()
 
 
 def test_damerau_levenshtein_literals():
@@ -94,6 +103,61 @@ def test_damerau_levenshtein_matches_duckdb(pairs):
     exp = con.execute(
         "select damerau_levenshtein(a,b) dl from tbl").fetchdf().dl.to_numpy()
     assert (got[ascii_mask] == exp[ascii_mask]).all()
+    got_np = edit_distance_np(s1, s2, damerau=True, use_duckdb=False)
+    assert (got == got_np).all()
+
+
+def test_duckdb_backend_routing_and_equality(pairs):
+    """The embedded-duckdb backend must (a) actually fire where claimed —
+    always for jaro/JW, all-ASCII batches only for the edit distances —
+    and (b) return exactly the numpy kernels' values elementwise (this
+    also pins the order-preservation of the single-threaded duckdb scan
+    over a 5k-row batch)."""
+    from memory_optimized_splink_spark.functions import similarity as S
+
+    if S._duckdb is None:
+        pytest.skip("duckdb not installed: numpy-only environment")
+    s1, s2, _ = pairs
+    calls: list[str] = []
+    orig = S._duck_pairs
+
+    def spy(fn, v1, v2, dt):
+        calls.append(fn)
+        return orig(fn, v1, v2, dt)
+
+    S._duck_pairs = spy
+    try:
+        # mixed-ascii corpus: jaro/JW route to duckdb, edit distances
+        # (codepoint-pinned) must fall back to numpy
+        assert np.array_equal(jaro_np(s1, s2),
+                              jaro_np(s1, s2, use_duckdb=False))
+        assert np.array_equal(jaro_winkler_np(s1, s2),
+                              jaro_winkler_np(s1, s2, use_duckdb=False))
+        assert np.array_equal(edit_distance_np(s1, s2, damerau=False),
+                              edit_distance_np(s1, s2, damerau=False,
+                                               use_duckdb=False))
+        assert np.array_equal(edit_distance_np(s1, s2, damerau=True),
+                              edit_distance_np(s1, s2, damerau=True,
+                                               use_duckdb=False))
+        assert calls == ["jaro_similarity", "jaro_winkler_similarity"]
+        # all-ascii batch: every kernel routes to duckdb
+        calls.clear()
+        am = np.array([a.isascii() and b.isascii() for a, b in zip(s1, s2)])
+        a1 = s1[am].reset_index(drop=True)
+        a2 = s2[am].reset_index(drop=True)
+        assert np.array_equal(edit_distance_np(a1, a2, damerau=False),
+                              edit_distance_np(a1, a2, damerau=False,
+                                               use_duckdb=False))
+        assert np.array_equal(edit_distance_np(a1, a2, damerau=True),
+                              edit_distance_np(a1, a2, damerau=True,
+                                               use_duckdb=False))
+        assert calls == ["levenshtein", "damerau_levenshtein"]
+        # non-default JW parameters have no duckdb builtin: numpy only
+        calls.clear()
+        jaro_winkler_np(a1, a2, prefix_weight=0.2)
+        assert calls == []
+    finally:
+        S._duck_pairs = orig
 
 
 def test_udfs_run_in_spark(spark):
@@ -173,12 +237,15 @@ def test_long_strings_exact_not_truncated(long_pairs):
     """>256-char inputs must match DuckDB exactly (the slow path computes
     at natural length; pre-round-4 they were silently truncated)."""
     s1, s2, ref = long_pairs
-    assert np.abs(jaro_winkler_np(s1, s2) - ref.jw.to_numpy()).max() < 1e-12
-    assert np.abs(jaro_np(s1, s2) - ref.j.to_numpy()).max() < 1e-12
-    assert (edit_distance_np(s1, s2, damerau=False)
-            == ref.lev.to_numpy()).all()
-    assert (edit_distance_np(s1, s2, damerau=True)
-            == ref.dl.to_numpy()).all()
+    for duck in (None, False):  # both backends, incl. the numpy slow path
+        assert np.abs(jaro_winkler_np(s1, s2, use_duckdb=duck)
+                      - ref.jw.to_numpy()).max() < 1e-12
+        assert np.abs(jaro_np(s1, s2, use_duckdb=duck)
+                      - ref.j.to_numpy()).max() < 1e-12
+        assert (edit_distance_np(s1, s2, damerau=False, use_duckdb=duck)
+                == ref.lev.to_numpy()).all()
+        assert (edit_distance_np(s1, s2, damerau=True, use_duckdb=duck)
+                == ref.dl.to_numpy()).all()
 
 
 def test_kernel_ceiling_raises_loudly():
