@@ -72,11 +72,20 @@ def _round_stats(edges: DataFrame, npart: int) -> tuple[int, bool]:
     u-side rows ONLY, with NULL on the v-side rows — the frame stays two
     8-byte columns (the same shuffle bytes as a plain membership frame),
     appears-as-v falls out as count(*) > count(t), and min/max ignore the
-    NULLs."""
-    nodes_fr = edges.select(
-        F.col("u").alias("n"), F.col("v").alias("t")
-    ).unionAll(edges.select(
-        F.col("v").alias("n"), F.lit(None).cast("long").alias("t")))
+    NULLs.
+
+    The symmetrized frame is built with ONE scan of `edges` (explode of a
+    2-struct array), not a unionAll of two scans: this makes the stats job
+    a single-scan consumer, so the caller can hand it a LAZY localCheckpoint
+    and the round's materialization fuses into this job (one pass over the
+    round output per round instead of two, and one job fewer) without the
+    double-compute hazard a two-branch union has over an unmaterialized
+    cache."""
+    nodes_fr = edges.select(F.explode(F.array(
+        F.struct(F.col("u").alias("n"), F.col("v").alias("t")),
+        F.struct(F.col("v").alias("n"),
+                 F.lit(None).cast("long").alias("t")),
+    )).alias("_e")).select("_e.n", "_e.t")
     per = (
         nodes_fr.repartition(npart, "n").groupBy("n")
         .agg(F.min("t").alias("tmin"), F.max("t").alias("tmax"),
@@ -219,7 +228,13 @@ def connected_components_long(edges: DataFrame, max_iterations: int = 50,
     the 16-byte edge table down as it converges instead of staying pinned
     at a setting sized for the upstream pair table."""
     spark = edges.sparkSession
-    e = _checkpoint(edges.select("u", "v").where(F.col("u") != F.col("v")))
+    # LAZY checkpoint + count: the count is the materializing action, so
+    # the input edge set is computed in ONE pass (an eager checkpoint runs
+    # a separate materialization job first and the count re-scans the
+    # cached blocks). The count is a single-scan consumer, so there is no
+    # double-compute hazard; everything downstream reads the frozen cache.
+    e = edges.select("u", "v").where(F.col("u") != F.col("v")) \
+        .localCheckpoint(eager=False)
     n_edges = e.count()
     if not n_edges:
         if stats is not None:
@@ -256,10 +271,17 @@ def connected_components_long(edges: DataFrame, max_iterations: int = 50,
         # round (nbrs window, small-in distinct+window) instead of 3; the
         # round output may carry cross-group duplicate rows, which the
         # duplicate-insensitive _round_stats and the min-per-node
-        # assignment tail tolerate exactly (see their docstrings)
-        e = _checkpoint(_small_star(
+        # assignment tail tolerate exactly (see their docstrings).
+        # The checkpoint is LAZY: _round_stats scans the round output once
+        # (explode form), so its aggregate job doubles as the
+        # materialization — one pass over the round's edge set per round
+        # instead of a materialize-then-rescan pair. The next round (or
+        # the assignment tail), which DOES scan `e` twice, reads the cache
+        # the stats job froze.
+        e = _small_star(
             _large_star(e, npart, dedupe=False), npart,
-            assume_normalized=True, dedupe_output=False))
+            assume_normalized=True, dedupe_output=False) \
+            .localCheckpoint(eager=False)
         rounds += 1
         n, star = _round_stats(e, npart)
         n_edges = n or 1
@@ -344,9 +366,19 @@ def solve_connected_components(
     from .vectors import _measured_size_bytes
 
     ids = nodes.select(F.col(node_col).alias("node_id")).distinct()
-    idmap = _checkpoint(ids.withColumn("nid", F.monotonically_increasing_id()))
+    # LAZY checkpoint: the measuring aggregate (one scan) doubles as the
+    # materialization job, freezing the monotonically_increasing_id values
+    # before any other consumer runs — one pass instead of
+    # materialize-then-rescan. If no aggregate ran (cap disabled or the
+    # schema was unmeasurable), fall back to an explicit count: the
+    # compaction joins scan idmap from two subtrees in one job, which must
+    # never race to compute an unmaterialized nid column.
+    idmap = ids.withColumn("nid", F.monotonically_increasing_id()) \
+        .localCheckpoint(eager=False)
     idmap_bytes = (_measured_size_bytes(idmap)
                    if broadcast_idmap_max_bytes else None)
+    if idmap_bytes is None:
+        idmap.count()
     e = _compact_edges(idmap, edges, edge_l, edge_r,
                        broadcast_idmap_max_bytes, measured_bytes=idmap_bytes)
     assign = connected_components_long(e, max_iterations=max_iterations,

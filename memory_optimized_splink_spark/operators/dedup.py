@@ -330,9 +330,12 @@ def minhash_lsh_pairs(
     # downstream consumers (bucket count, anti-join probe, both self-join
     # sides), and without lineage truncation EACH replays the signature
     # UDF over every document (two ArrowEvalPython nodes in the round-5
-    # plan; four signature passes at bench shape)
-    banded = banded.localCheckpoint(eager=True)
-    # one cheap count over the cached band table proves the per-band row
+    # plan; four signature passes at bench shape). LAZY checkpoint + count:
+    # the count below is the single-scan materializing action, so the
+    # signature pipeline runs in one job (eager would materialize in a
+    # separate job and re-scan the cache for the count)
+    banded = banded.localCheckpoint(eager=False)
+    # one cheap count over the band table proves the per-band row
     # count (= docs with a signature); when that bound fits the cap the
     # bucket guard is skipped as a no-op (see cap_bucket_sizes)
     n_banded = banded.count()
@@ -492,8 +495,9 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
         ])).alias("band_id", "band_key"),
     )
     # same four-consumer shape as the minhash band table: materialize once
-    # so the signature aggregation is not replayed per consumer
-    banded = banded.localCheckpoint(eager=True)
+    # so the signature aggregation is not replayed per consumer (lazy
+    # checkpoint — the count is the materializing single-scan action)
+    banded = banded.localCheckpoint(eager=False)
     n_banded = banded.count()
     banded = cap_bucket_sizes(banded, ["band_id", "band_key"],
                               max_bucket_size,
@@ -591,8 +595,9 @@ def embedding_cosine_pairs(
     banded = base.select(
         "_id", F.posexplode("_keys").alias("band_id", "band_key"))
     # four consumers (bucket count, anti-join probe, both self-join sides):
-    # materialize once so the sketch UDF runs once per document
-    banded = banded.localCheckpoint(eager=True)
+    # materialize once so the sketch UDF runs once per document (lazy
+    # checkpoint — the count is the materializing single-scan action)
+    banded = banded.localCheckpoint(eager=False)
     n_banded = banded.count()
     banded = cap_bucket_sizes(banded, ["band_id", "band_key"],
                               max_bucket_size,
