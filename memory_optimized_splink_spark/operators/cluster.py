@@ -38,6 +38,22 @@ def _checkpoint(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _free_checkpoint(df: DataFrame) -> None:
+    """Best-effort unpersist of a localCheckpoint'ed frame's cached blocks.
+
+    The star loop materializes one edge set + one per-node stats table per
+    round; without this, every round's blocks stay in the block store for
+    the life of the session (23 rounds x ~2x 5M-row tables on the path-
+    graph shape = gigabytes of dead cache competing with execution memory).
+    Safe exactly because a local checkpoint's lineage is truncated: once
+    the NEXT round is materialized, nothing can (or will) read the
+    previous round's RDD again. Non-blocking; never raises."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _checksum(edges: DataFrame) -> tuple[int, int]:
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
@@ -46,9 +62,11 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return row["n"], row["h"]
 
 
-def _round_stats(edges: DataFrame, npart: int) -> tuple[int, bool]:
-    """(n_edge_rows, is_star_forest) in ONE aggregate job over the round
-    output. DUPLICATE-INSENSITIVE: the round output is allowed to carry
+def _round_stats(edges: DataFrame, npart: int, keep_per: bool = False
+                 ) -> tuple[int, int, DataFrame | None]:
+    """(n_edge_rows, n_violating_nodes, per_node) in ONE aggregate job over
+    the round output; star forest <=> n_violating_nodes == 0.
+    DUPLICATE-INSENSITIVE: the round output is allowed to carry
     duplicate (u, v) rows (the loop defers the closing distinct — see
     connected_components_long), so the check is on the edge SET:
 
@@ -80,7 +98,24 @@ def _round_stats(edges: DataFrame, npart: int) -> tuple[int, bool]:
     and the round's materialization fuses into this job (one pass over the
     round output per round instead of two, and one job fewer) without the
     double-compute hazard a two-branch union has over an unmaterialized
-    cache."""
+    cache.
+
+    With `keep_per`, the per-node frame (n, tmin, viol, rows_u) — one row
+    per node of the round output, lazily checkpointed and materialized by
+    this very aggregate — is returned: it IS the assignment table. For a
+    node with u-side rows, coalesce(tmin, n) = min of its targets, and
+    since every round-output row satisfies u > v, min(targets ∪ {self}) =
+    min(targets) — exactly the min-per-node the old assignment tail
+    recomputed with a fresh scan + repartition + groupBy over the fixpoint
+    edge set; for a v-only node (a root) tmin is NULL and coalesce yields
+    the node itself. This holds for ANY loop exit (star fixpoint or
+    max_iterations), so when the FINAL round's stats kept its per table,
+    the assignment tail reads it instead of re-shuffling the edge set —
+    one full O(edges) keyed shuffle per solve removed. Caching the table
+    costs a ~33 B/node block-store write inside the stats job (measured
+    +0.3 s/round at 5M path-graph nodes), so the caller only sets
+    `keep_per` on rounds it predicts are final; a misprediction just
+    re-runs this aggregate once, which is the old tail's exact cost."""
     nodes_fr = edges.select(F.explode(F.array(
         F.struct(F.col("u").alias("n"), F.col("v").alias("t")),
         F.struct(F.col("v").alias("n"),
@@ -90,17 +125,21 @@ def _round_stats(edges: DataFrame, npart: int) -> tuple[int, bool]:
         nodes_fr.repartition(npart, "n").groupBy("n")
         .agg(F.min("t").alias("tmin"), F.max("t").alias("tmax"),
              F.count("t").alias("rows_u"), F.count(F.lit(1)).alias("rows_t"))
+        .select(
+            "n", "tmin", "rows_u",
+            ((F.col("tmin") < F.col("tmax"))
+             | ((F.col("rows_u") > 0)
+                & (F.col("rows_t") > F.col("rows_u")))).alias("viol"),
+        )
     )
+    if keep_per:
+        per = per.localCheckpoint(eager=False)
     row = per.agg(
         F.sum("rows_u").alias("n_rows"),
-        F.max(
-            F.when((F.col("tmin") < F.col("tmax"))
-                   | ((F.col("rows_u") > 0)
-                      & (F.col("rows_t") > F.col("rows_u"))),
-                   1).otherwise(0)
-        ).alias("viol"),
+        F.sum(F.when(F.col("viol"), 1).otherwise(0)).alias("viol"),
     ).collect()[0]
-    return int(row["n_rows"] or 0), not row["viol"]
+    return (int(row["n_rows"] or 0), int(row["viol"] or 0),
+            per if keep_per else None)
 
 
 def _star_partitions(n_edges: int, spark) -> int:
@@ -253,6 +292,7 @@ def connected_components_long(edges: DataFrame, max_iterations: int = 50,
     npart0 = _star_partitions(n_edges, spark)
     if stats is not None:
         stats["input_partitions"] = e.rdd.getNumPartitions()
+    ckpt = e  # the checkpointed frame whose blocks hold the loop input
     if e.rdd.getNumPartitions() > 2 * npart0:
         e = e.coalesce(npart0)
     if stats is not None:
@@ -260,10 +300,20 @@ def connected_components_long(edges: DataFrame, max_iterations: int = 50,
     rounds = 0
     round_secs: list[float] = []
     round_parts: list[int] = []
+    per = None
+    # keep_per: cache the round's per-node stats table (the assignment
+    # table, see _round_stats) only when this round is predicted FINAL —
+    # round 1 (realistic linkage graphs are clique-heavy and converge
+    # immediately; bench/cc-scale both stop at round 1) or any round after
+    # the violation count dropped below ~1/16 of the edge rows. A false
+    # positive costs one ~33 B/node cache write; a false negative re-runs
+    # the stats aggregate once at the exit (the old tail's exact cost).
+    keep_per = True
     for _ in range(max_iterations):
         t0 = time.time()
         npart = _star_partitions(n_edges, spark)
         round_parts.append(npart)
+        prev_ckpt, prev_per = ckpt, per
         # fused round: large-star defers its dedupe into small-star's
         # repartition+distinct on the same key, and small-star's own
         # closing distinct is deferred to the NEXT round's opening
@@ -282,23 +332,47 @@ def connected_components_long(edges: DataFrame, max_iterations: int = 50,
             _large_star(e, npart, dedupe=False), npart,
             assume_normalized=True, dedupe_output=False) \
             .localCheckpoint(eager=False)
+        ckpt = e
         rounds += 1
-        n, star = _round_stats(e, npart)
+        n, viol, per = _round_stats(e, npart, keep_per=keep_per)
         n_edges = n or 1
+        # the new round + its stats table are materialized now; the
+        # previous round's blocks have no remaining consumer — free them
+        # so the loop's block-store footprint stays O(1) rounds, not O(n)
+        _free_checkpoint(prev_ckpt)
+        if prev_per is not None:
+            _free_checkpoint(prev_per)
         round_secs.append(round(time.time() - t0, 2))
-        if star:
+        if not viol:
             # star forest reached: provably the fixpoint, roots are the
             # component minima (see _round_stats) — no proving round needed
             break
+        keep_per = viol * 16 < n_edges
     if stats is not None:
         stats["rounds"] = rounds
         stats["round_secs"] = round_secs
         stats["round_partitions"] = round_parts
-    # fixpoint edges are (node -> component min); add the roots themselves
-    assign = e.select(F.col("u"), F.col("v").alias("rep")).union(
-        e.select(F.col("v").alias("u"), F.col("v").alias("rep"))
-    ).repartition(_star_partitions(n_edges, spark), "u")
-    return assign.groupBy("u").agg(F.min("rep").alias("rep"))
+    if per is None and rounds:
+        # the final round's stats ran without keeping its per table
+        # (misprediction, or a max_iterations exit from a high-violation
+        # loop): rebuild it once — the same one keyed shuffle the old
+        # assignment tail always paid
+        _, _, per = _round_stats(e, _star_partitions(n_edges, spark),
+                                 keep_per=True)
+    if per is None:  # max_iterations <= 0: no round ran, no per-node table
+        assign = e.select(F.col("u"), F.col("v").alias("rep")).union(
+            e.select(F.col("v").alias("u"), F.col("v").alias("rep"))
+        ).repartition(_star_partitions(n_edges, spark), "u")
+        return assign.groupBy("u").agg(F.min("rep").alias("rep"))
+    # assignment = the last round's per-node aggregate, already materialized
+    # by the stats job: coalesce(min target, self) is exactly the
+    # min-per-node the old tail recomputed with a fresh scan + repartition +
+    # groupBy over the fixpoint edge set (see _round_stats docstring; holds
+    # for star AND max_iterations exits because round rows satisfy u > v)
+    return per.select(
+        F.col("n").alias("u"),
+        F.coalesce(F.col("tmin"), F.col("n")).alias("rep"),
+    )
 
 
 def _compact_edges(idmap: DataFrame, edges: DataFrame, edge_l: str,
