@@ -258,3 +258,44 @@ def test_kernel_ceiling_raises_loudly():
     with pytest.raises(ValueError, match="ceiling"):
         edit_distance_np(pd.Series(["x" * 3000]), pd.Series(["y"]),
                          damerau=True)
+
+
+def test_arrow_udf_boundary_nan_is_null(spark):
+    """The Arrow-native UDF wrappers must reproduce the old pandas-UDF
+    boundary bit-for-bit at the NULL/NaN edge: a kernel NaN (pairwise
+    no-valid-pair, cosine of NaN-poisoned vectors) must arrive in Spark as
+    NULL, never as a NaN VALUE — Spark sorts NaN above every number, so a
+    raw NaN would silently satisfy `metric >= threshold` gammas."""
+    from pyspark.sql import functions as F
+
+    from memory_optimized_splink_spark.functions.similarity import (
+        cosine_similarity_udf, jaro_winkler_udf, pairwise_jaro_winkler_udf,
+    )
+
+    df = spark.sql("""SELECT * FROM VALUES
+        (array('ann', 'bob'), array('ann')),
+        (array('ann'), array()),
+        (array('ann'), CAST(NULL AS array<string>)),
+        (array(), array())
+        AS t(a, b)""")
+    rows = df.select(pairwise_jaro_winkler_udf("a", "b").alias("v")) \
+        .collect()
+    assert rows[0]["v"] == 1.0
+    assert [r["v"] for r in rows[1:]] == [None, None, None]
+    # NULL never satisfies a threshold comparison (NaN would)
+    n_pass = df.where(pairwise_jaro_winkler_udf("a", "b") >= F.lit(0.9)) \
+        .count()
+    assert n_pass == 1
+
+    emb = spark.sql("""SELECT * FROM VALUES
+        (array(CAST('NaN' AS DOUBLE), 1.0), array(1.0, 1.0)),
+        (array(1.0, 0.0), array(1.0, 0.0))
+        AS t(a, b)""")
+    vals = [r["v"] for r in
+            emb.select(cosine_similarity_udf("a", "b").alias("v")).collect()]
+    assert vals[0] is None and abs(vals[1] - 1.0) < 1e-12
+
+    # scalar string metrics: nulls behave like '' (kernel fillna pin)
+    s = spark.sql("SELECT CAST(NULL AS STRING) a, 'x' b")
+    assert s.select(jaro_winkler_udf("a", "b").alias("v")) \
+        .collect()[0]["v"] == 0.0
