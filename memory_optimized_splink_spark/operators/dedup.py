@@ -32,6 +32,8 @@ from typing import Callable, Optional
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import Column, DataFrame, functions as F
 
 # Mersenne prime for the affine minhash family. 2^31-1 keeps a*h < 2^62 so
@@ -157,22 +159,64 @@ def _minhash_sig_udf(k: int, coeffs: list[tuple[int, int]]):
     matrix ~1.4x, and its (num_hashes, windows) temporaries are memory-
     bandwidth-bound; likewise Mersenne-folding the `%` was 10x slower than
     numpy's vectorized uint64 division. The kernel is ~3% of the stage
-    wall at bench shape (scan + Arrow transfer dominate)."""
+    wall at bench shape — the boundary dominates, which is why this is an
+    ARROW UDF: an all-ASCII null-free batch never materializes a Python
+    string. `pc.ascii_lower` runs in C (== str.lower on ASCII), each doc's
+    bytes are a zero-copy numpy VIEW into the Arrow data buffer (sliced by
+    the offsets buffer), and the signatures return as one flat int64
+    ListArray instead of per-doc Python int lists. Any batch with nulls or
+    non-ASCII text falls back to the original per-row path (str.lower's
+    full Unicode mapping differs from utf8 lower on exotic codepoints, so
+    the fast path is gated rather than approximated)."""
     from pyspark.sql.types import ArrayType, LongType
 
     A = np.array([a for a, _ in coeffs], dtype=np.uint64)[:, None]
     B = np.array([b for _, b in coeffs], dtype=np.uint64)[:, None]
     M = np.uint64(_MERSENNE)
+    nh = len(coeffs)
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def _sig(s: pd.Series) -> pd.Series:
+    def _sig_of_hashes(h: np.ndarray) -> np.ndarray:
+        """(nh,) int64 signature from a doc's shingle-hash array (the
+        shared tail of both paths — bit-identical by construction)."""
+        hu = h.view(np.uint64)[None, :]
+        return ((A * hu + B) % M).min(axis=1).astype(np.int64)
+
+    def _bytes_hash_arr(b: np.ndarray) -> np.ndarray:
+        """_doc_shingle_hash_arr over an ALREADY-lowercased uint8 view."""
+        if len(b) <= k:
+            W = b.reshape(1, -1)
+        else:
+            W = np.lib.stride_tricks.sliding_window_view(b, k)
+        h = np.unique(_xxhash64_windows(W))
+        return h.view(np.int64) % np.int64(_MERSENNE)
+
+    @F.arrow_udf(ArrayType(LongType()))
+    def _sig(s: "pa.Array") -> "pa.Array":
+        arr = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        n = len(arr)
+        list_t = pa.list_(pa.int64())
+        if n == 0:
+            return pa.array([], type=list_t)
+        if arr.null_count == 0 and pc.all(pc.string_is_ascii(arr)).as_py():
+            low = pc.ascii_lower(arr)
+            odt = np.int64 if pa.types.is_large_string(low.type) else np.int32
+            off = np.frombuffer(low.buffers()[1], dtype=odt)[
+                low.offset:low.offset + n + 1]
+            data = np.frombuffer(low.buffers()[2], dtype=np.uint8)
+            flat = np.empty(n * nh, dtype=np.int64)
+            for i in range(n):
+                flat[i * nh:(i + 1) * nh] = _sig_of_hashes(
+                    _bytes_hash_arr(data[off[i]:off[i + 1]]))
+            return pa.ListArray.from_arrays(
+                np.arange(n + 1, dtype=np.int32) * nh,
+                pa.array(flat, type=pa.int64()))
+        # fallback: nulls or non-ASCII — the original per-row python path
         def one(v):
             if v is None:
                 return None
-            h = _doc_shingle_hash_arr(v, k).view(np.uint64)[None, :]
-            return ((A * h + B) % M).min(axis=1).astype(np.int64).tolist()
-
-        return s.apply(one)
+            return _sig_of_hashes(_doc_shingle_hash_arr(v, k)).tolist()
+        return pa.array(arr.to_pandas().apply(one), type=list_t,
+                        from_pandas=True)
 
     return _sig
 
@@ -531,27 +575,53 @@ def srp_band_keys(vec_col: Column, planes, bands: int) -> Column:
     dim = P.shape[1]
     zero = np.zeros(dim)
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def _keys(v: pd.Series) -> pd.Series:
-        # dirty data must not kill the stage: a NULL or wrong-length
-        # embedding sketches as the zero vector (all bits 0) — the same
-        # bucket the replaced SQL sketch path gave them; such rows are
-        # dropped later at the exact-cosine verify (NULL cosine)
-        def vec(x):
-            if x is None:
-                return zero
-            a = np.asarray(x, dtype=np.float64)
-            if a.shape != (dim,) or not np.isfinite(a).all():
-                return zero
-            return a
-
-        X = np.stack(v.apply(vec).to_numpy())
+    def _key_matrix(X: np.ndarray) -> np.ndarray:
         bits = (X @ P.T) > 0                       # (n, bands*r)
-        keys = np.stack(
+        return np.stack(
             [bits[:, b * r:(b + 1) * r] @ weights for b in range(bands)],
             axis=1,
         ).astype(np.int64)                          # (n, bands)
-        return pd.Series(list(keys))
+
+    @F.arrow_udf(ArrayType(LongType()))
+    def _keys(v: "pa.Array") -> "pa.Array":
+        # Arrow fast path: a clean batch (no null rows, every list exactly
+        # `dim` long, no null elements) IS one contiguous (n, dim) float64
+        # buffer — reshape it zero-copy and run one matmul, no per-row
+        # Python. Dirty data must not kill the stage: any null/ragged
+        # batch falls back to the per-row path where a NULL, wrong-length
+        # or non-finite embedding sketches as the zero vector (all bits 0,
+        # the same bucket the replaced SQL sketch path gave them); such
+        # rows are dropped later at the exact-cosine verify (NULL cosine).
+        arr = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+        n = len(arr)
+        list_t = pa.list_(pa.int64())
+        if n == 0:
+            return pa.array([], type=list_t)
+        keys = None
+        if arr.null_count == 0:
+            off = arr.offsets.to_numpy()
+            if (np.diff(off) == dim).all() and arr.values.null_count == 0:
+                vals = arr.values.to_numpy(zero_copy_only=True)
+                X = np.ascontiguousarray(
+                    vals[off[0]:off[-1]]).reshape(n, dim)
+                fin = np.isfinite(X).all(axis=1)
+                if not fin.all():
+                    X = np.where(fin[:, None], X, 0.0)
+                keys = _key_matrix(X)
+        if keys is None:
+            def vec(x):
+                if x is None:
+                    return zero
+                a = np.asarray(x, dtype=np.float64)
+                if a.shape != (dim,) or not np.isfinite(a).all():
+                    return zero
+                return a
+
+            X = np.stack(arr.to_pandas().apply(vec).to_numpy())
+            keys = _key_matrix(X)
+        return pa.ListArray.from_arrays(
+            np.arange(n + 1, dtype=np.int32) * bands,
+            pa.array(keys.reshape(-1), type=pa.int64()))
 
     return _keys(vec_col)
 
