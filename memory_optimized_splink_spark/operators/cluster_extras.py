@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .cluster import solve_connected_components
+from .cluster import _free_checkpoint, solve_connected_components
 
 
 def cluster_at_multiple_thresholds(
@@ -140,10 +140,16 @@ def one_to_one_clustering(
             break
         mapping = mutual.select(F.col("rep_r").alias("rep"),
                                 F.col("rep_l").alias("_new_rep"))
+        prev_reps = reps
         reps = reps.join(mapping, on="rep", how="left") \
             .select("node_id",
                     F.coalesce("_new_rep", "rep").alias("rep"), "_ds") \
             .localCheckpoint(eager=True)
+        # the new reps table is materialized; the previous iteration's
+        # checkpoint has no remaining consumer — free it so the accept
+        # loop's block-store footprint stays O(1) iterations (same pattern
+        # as the CC star loop)
+        _free_checkpoint(prev_reps)
     return reps.select("node_id", F.col("rep").alias("cluster_id"))
 
 
