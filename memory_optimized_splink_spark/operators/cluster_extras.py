@@ -56,6 +56,10 @@ def cluster_at_multiple_thresholds(
             in_play.withColumnRenamed("node_id", node_col), strong,
             node_col=node_col)
         members = stable.unionByName(re_clustered).localCheckpoint(eager=True)
+        # this threshold's membership is materialized; the in-play node
+        # subset fed the re-cluster solve and has no remaining consumer
+        # (each threshold's members stay cached — the output unions them)
+        _free_checkpoint(in_play)
         outs.append(members.withColumn("threshold", F.lit(float(t))))
     out = outs[0]
     for o in outs[1:]:
