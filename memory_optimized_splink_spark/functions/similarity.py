@@ -127,6 +127,7 @@ _DUCK_ARROW_FN = {
     "jaro": ("jaro_similarity", False, _LHARD_JARO),
     "jaro_winkler": ("jaro_winkler_similarity", False, _LHARD_JARO),
     "damerau_levenshtein": ("damerau_levenshtein", True, _LHARD_DL),
+    "levenshtein": ("levenshtein", True, _LHARD_LEV),
 }
 
 
@@ -700,6 +701,28 @@ def damerau_levenshtein_udf(s1: pa.Array, s2: pa.Array) -> pa.Array:
     return pa.array(
         edit_distance_np(s1.to_pandas(), s2.to_pandas(),
                          damerau=True).astype("int32"), type=pa.int32())
+
+
+@F.arrow_udf(IntegerType())
+def levenshtein_udf(s1: pa.Array, s2: pa.Array) -> pa.Array:
+    """Levenshtein pinned to Spark's `levenshtein` builtin: codepoint
+    counting AND NULL -> NULL (unlike the other metric UDFs' fillna('')
+    convention — this UDF exists as a drop-in for the JVM expression
+    inside an existing Arrow metric stage, where the DuckDB builtin
+    measured ~25-30% off the whole scoring projection vs the JVM
+    expression; equality with the builtin is fuzz-pinned incl. non-ASCII
+    and nulls). ASCII batches run DuckDB's levenshtein (bytes == code-
+    points there); otherwise the codepoint numpy kernel."""
+    out = _arrow_duck_or_none("levenshtein", s1, s2, pa.int32())
+    if out is None:
+        out = pa.array(
+            edit_distance_np(s1.to_pandas(), s2.to_pandas(),
+                             damerau=False).astype("int32"),
+            type=pa.int32())
+    nulls = pc.or_(pc.is_null(s1), pc.is_null(s2))
+    if pc.any(nulls).as_py():
+        out = pc.if_else(nulls, pa.scalar(None, pa.int32()), out)
+    return out
 
 
 @F.arrow_udf(DoubleType())

@@ -22,6 +22,7 @@ from ..functions.similarity import (
     damerau_levenshtein_udf,
     jaro_udf,
     jaro_winkler_udf,
+    levenshtein_udf,
 )
 from ..model import Comparison, ComparisonLevel, Settings
 
@@ -38,12 +39,22 @@ def _char_set(col: Column) -> Column:
     return F.array_distinct(F.filter(F.split(col, ""), lambda x: x != F.lit("")))
 
 
-def _metric_expr(kind: str, l: Column, r: Column) -> Column:
+def _metric_expr(kind: str, l: Column, r: Column,
+                 lev_in_python: bool = False) -> Column:
     if kind == "jaro_winkler":
         return jaro_winkler_udf(l, r)
     if kind == "jaro":
         return jaro_udf(l, r)
     if kind == "levenshtein":
+        # value-identical either way (levenshtein_udf is fuzz-pinned to the
+        # builtin, incl. NULL->NULL). When the projection ALREADY carries an
+        # Arrow metric stage, the udf rides it and DuckDB's levenshtein
+        # measured ~25-30% off the whole stage vs the JVM expression
+        # (noop-forced A/B at 2.6M bench-shaped pairs); when no Python
+        # stage exists, the JVM builtin stays — adding an Arrow boundary
+        # JUST for levenshtein would pay string transfer for nothing.
+        if lev_in_python:
+            return levenshtein_udf(l, r)
         return F.levenshtein(l, r)  # JVM builtin: stays in codegen
     if kind == "damerau_levenshtein":
         return damerau_levenshtein_udf(l, r)
@@ -264,6 +275,7 @@ def with_comparison_metrics(df: DataFrame, settings: Settings,
     by_col: dict[str, list[tuple[str, str]]] = {}  # col -> [(name, kind)]
     seen: set[str] = set()
     needs_python = False
+    entries: list[tuple[str, str, str]] = []  # (name, kind, column)
     for comp in settings.comparisons:
         for top in comp.levels:
             for lv in top.walk():  # sub levels of And/Or/Not need metrics too
@@ -274,13 +286,20 @@ def with_comparison_metrics(df: DataFrame, settings: Settings,
                 if name in seen:
                     continue
                 seen.add(name)
-                if dedupe_inputs and lv.kind in _PYTHON_METRIC_KINDS:
-                    by_col.setdefault(c, []).append((name, lv.kind))
-                else:
-                    inline[name] = _metric_expr(
-                        lv.kind, F.col(f"{c}_l"), F.col(f"{c}_r")
-                    ).alias(name)
+                entries.append((name, lv.kind, c))
                 needs_python |= lv.kind in _PYTHON_METRIC_KINDS
+    # levenshtein joins the Arrow stage only when one ALREADY exists on
+    # this pair table (needs_python, and not diverted to the dedupe table):
+    # value-identical, see _metric_expr
+    lev_in_python = needs_python and not dedupe_inputs
+    for name, kind, c in entries:
+        if dedupe_inputs and kind in _PYTHON_METRIC_KINDS:
+            by_col.setdefault(c, []).append((name, kind))
+        else:
+            inline[name] = _metric_expr(
+                kind, F.col(f"{c}_l"), F.col(f"{c}_r"),
+                lev_in_python=lev_in_python,
+            ).alias(name)
     if not (inline or by_col):
         return df
     if needs_python and python_parallelism and not by_col:

@@ -299,3 +299,37 @@ def test_arrow_udf_boundary_nan_is_null(spark):
     s = spark.sql("SELECT CAST(NULL AS STRING) a, 'x' b")
     assert s.select(jaro_winkler_udf("a", "b").alias("v")) \
         .collect()[0]["v"] == 0.0
+
+
+def test_levenshtein_udf_matches_spark_builtin(spark):
+    """levenshtein_udf is a drop-in for F.levenshtein inside an Arrow
+    metric stage: identical values (codepoint counting) AND identical
+    NULL -> NULL semantics, on ASCII (duckdb route) and non-ASCII (numpy
+    codepoint kernel) alike."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from memory_optimized_splink_spark.functions.similarity import (
+        levenshtein_udf,
+    )
+
+    rng = random.Random(11)
+    alpha_ascii = "abcXYZ 0189_/."
+    alpha_uni = "abcäöüßéλ漢字😀"
+
+    def rand(alpha, lo, hi):
+        return "".join(rng.choice(alpha)
+                       for _ in range(rng.randrange(lo, hi)))
+
+    rows = [(rand(alpha_ascii, 0, 40), rand(alpha_ascii, 0, 40))
+            for _ in range(300)]
+    rows += [(rand(alpha_uni, 0, 25), rand(alpha_uni, 0, 25))
+             for _ in range(300)]
+    rows += [(None, "abc"), ("abc", None), (None, None), ("", ""),
+             ("", "xyz"), ("a" * 500, "b" * 490)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = df.select(F.levenshtein("a", "b").alias("ref"),
+                    levenshtein_udf("a", "b").alias("udf")).collect()
+    for r in got:
+        assert r["ref"] == r["udf"], (r["ref"], r["udf"])
